@@ -1,0 +1,17 @@
+from .bev_depth import BEVDepthLiDAR
+from .centerpoint_head import (BEVDepthHead, clip_sigmoid, decode_boxes,
+                               detection_loss, get_targets, get_targets_batch)
+from .depth_net import ASPP, DeformConv2d, DepthNet, Mlp, SELayer
+from .fusion import BEVFuseLayer
+from .lidar_encoder import LidarBEVEncoder
+from .lss_fpn import LSSFPN
+from .resnet import BasicBlock, Bottleneck, ConvBN, ResNet
+from .second_fpn import SECONDFPN
+
+__all__ = [
+    'ASPP', 'BEVDepthHead', 'BEVDepthLiDAR', 'BEVFuseLayer', 'BasicBlock',
+    'Bottleneck', 'ConvBN', 'DeformConv2d', 'DepthNet', 'LSSFPN',
+    'LidarBEVEncoder', 'Mlp', 'ResNet', 'SECONDFPN', 'SELayer',
+    'clip_sigmoid', 'decode_boxes', 'detection_loss', 'get_targets',
+    'get_targets_batch',
+]

@@ -1,0 +1,171 @@
+"""DepthNet + ASPP + SELayer/Mlp + deformable conv (flax, NHWC).
+
+Re-design of the reference's depth/context head (layers/backbones/lss_fpn.py:
+16-248): reduce conv -> context 1x1 (80ch) in parallel with a depth branch of
+3 BasicBlocks + ASPP + deformable conv + 1x1 to the depth bins.
+
+The mmcv CUDA DCN op (lss_fpn.py:189-197: 3x3, conv groups 4, deform_groups 1)
+becomes a gather-based deformable conv: a zero-initialized offset conv predicts
+per-tap (dy, dx), the nine taps are bilinearly sampled (pure XLA gathers), and
+the tap-weighted sum is one einsum on the MXU. Zero-init offsets make it exact
+to a regular 3x3 conv at initialization — the standard DCN init.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import BasicBlock, ConvBN
+
+__all__ = ['DepthNet', 'ASPP', 'SELayer', 'Mlp', 'DeformConv2d']
+
+
+def _bilinear_gather(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample img [H, W, C] at float positions ys/xs [...] -> [..., C].
+    Zero padding outside."""
+    h, w, _ = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(inb[..., None], v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx)[..., None] + v01 * wx[..., None]
+    bot = v10 * (1 - wx)[..., None] + v11 * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+class DeformConv2d(nn.Module):
+    """Gather-based deformable 3x3 conv (DCNv1 semantics, deform_groups=1)."""
+    features: int
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        k = 3
+        nt = k * k
+        offsets = nn.Conv(2 * nt, (k, k), padding='SAME',
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name='conv_offset')(x)                    # [B,H,W,18]
+        offsets = offsets.reshape(b, h, w, nt, 2)
+
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        ky = jnp.arange(k, dtype=jnp.float32) - (k // 2)
+        base_dy, base_dx = jnp.meshgrid(ky, ky, indexing='ij')
+        base = jnp.stack([base_dy.reshape(-1), base_dx.reshape(-1)], -1)  # [9,2]
+
+        py = ys[None, :, :, None] + base[None, None, None, :, 0] + offsets[..., 0]
+        px = xs[None, :, :, None] + base[None, None, None, :, 1] + offsets[..., 1]
+
+        sampled = jax.vmap(_bilinear_gather)(x, py, px)             # [B,H,W,9,C]
+
+        g = self.groups
+        cg = c // g
+        og = self.features // g
+        wgt = self.param('kernel', nn.initializers.he_normal(),
+                         (nt, g, cg, og), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+        samp = sampled.reshape(b, h, w, nt, g, cg)
+        out = jnp.einsum('bhwtgc,tgco->bhwgo', samp, wgt,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(b, h, w, self.features) + bias
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (lss_fpn.py:47-117): dilations
+    1/6/12/18 + global-average branch, concat -> 1x1 -> BN -> ReLU -> dropout."""
+    mid_channels: int
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = self.mid_channels
+        x1 = ConvBN(m, 1, 1, bn_axis_name=self.bn_axis_name)(x, train)
+        x2 = ConvBN(m, 3, 1, dilation=6, bn_axis_name=self.bn_axis_name)(x, train)
+        x3 = ConvBN(m, 3, 1, dilation=12, bn_axis_name=self.bn_axis_name)(x, train)
+        x4 = ConvBN(m, 3, 1, dilation=18, bn_axis_name=self.bn_axis_name)(x, train)
+
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = ConvBN(m, 1, 1, bn_axis_name=self.bn_axis_name)(g, train)
+        g = jnp.broadcast_to(g, x4.shape[:3] + (m,))
+
+        out = jnp.concatenate([x1, x2, x3, x4, g], axis=-1)
+        out = ConvBN(m, 1, 1, bn_axis_name=self.bn_axis_name)(out, train)
+        out = nn.Dropout(0.5, deterministic=not train)(out)
+        return out
+
+
+class SELayer(nn.Module):
+    """Squeeze-excite gate (lss_fpn.py:145-157). Defined for structural parity;
+    the reference instantiates it as context_se but does not call it."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, x_se):
+        x_se = nn.Conv(self.channels, (1, 1))(x_se)
+        x_se = nn.relu(x_se)
+        x_se = nn.Conv(self.channels, (1, 1))(x_se)
+        return x * nn.sigmoid(x_se)
+
+
+class Mlp(nn.Module):
+    """2-layer MLP (lss_fpn.py:120-142); structural parity (unused in the
+    reference forward)."""
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden_features)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.out_features)(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
+
+
+class DepthNet(nn.Module):
+    """Depth/context head (lss_fpn.py:160-248).
+
+    Returns [B, fH, fW, depth_channels + context_channels] — depth logits
+    first, context after, matching the reference's channel concat order.
+    """
+    mid_channels: int
+    context_channels: int
+    depth_channels: int
+    use_dcn: bool = True
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.mid_channels, 3, 1, bn_axis_name=self.bn_axis_name,
+                   name='reduce_conv')(x, train)
+        context = nn.Conv(self.context_channels, (1, 1), name='context_conv')(x)
+
+        d = x
+        for i in range(3):
+            d = BasicBlock(self.mid_channels, bn_axis_name=self.bn_axis_name,
+                           name=f'depth_block{i}')(d, train)
+        d = ASPP(self.mid_channels, bn_axis_name=self.bn_axis_name,
+                 name='aspp')(d, train)
+        if self.use_dcn:
+            d = DeformConv2d(self.mid_channels, groups=4, name='dcn')(d)
+        depth = nn.Conv(self.depth_channels, (1, 1), name='depth_pred')(d)
+        return jnp.concatenate([depth, context], axis=-1)

@@ -1,0 +1,63 @@
+"""LiDAR/radar pillar BEV encoder (flax, NHWC).
+
+TPU-native replacement for the reference's mmdet3d stack
+(models/bev_depth.py:179-185): CUDA hard voxelization -> HardSimpleVFE ->
+SparseEncoder on a [41, 256, 2048] sparse grid.
+
+Why dense 2D: the reference's voxel z-extent (8 m) covers the whole z range,
+so its "3D sparse" tensor has a single occupied z plane — the SparseEncoder
+is a pillar encoder in disguise. The TPU design therefore scatters the
+per-pillar mean features (ops.voxelize) into a dense [ny, nx, 5] grid and
+runs an NHWC conv pyramid with the SparseEncoder's channel progression
+((16,16,32), (32,32,64), (64,64,128), (128,128), conf_aim.py:208-210) at
+total stride 8, followed by an output block to the 256-channel BEV contract
+(conf_aim.py:35; the reference reaches 256 by flattening 2 z-planes x 128ch).
+Dense convs at <=5% occupancy cost ~20x redundant MACs only in the cheap
+16-channel stage — a trivial price for MXU-shaped work with no
+gather/scatter in the backward pass.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import LidarEncoderConf
+from ..ops.voxelize import voxelize_pillars_dense
+from .resnet import ConvBN
+
+__all__ = ['LidarBEVEncoder']
+
+
+class LidarBEVEncoder(nn.Module):
+    conf: LidarEncoderConf
+    pc_range: Tuple[float, ...]
+    voxel_size: Tuple[float, float, float]
+    grid_hw: Tuple[int, int]  # full-resolution pillar grid (ny, nx)
+    bn_axis_name: Optional[str] = None
+    exact_point_cap: bool = False  # reproduce first-15-points VFE subsampling
+
+    @nn.compact
+    def __call__(self, points, point_mask, train: bool = False):
+        """points [B, P, F], point_mask [B, P] -> BEV [B, ny/8, nx/8, 256]."""
+        vconf = self.conf.voxelization
+        cap = vconf.max_num_points if self.exact_point_cap else None
+
+        def vox(p, m):
+            return voxelize_pillars_dense(
+                p, m, self.pc_range, self.voxel_size, self.grid_hw,
+                num_features=vconf.num_features, max_points_per_voxel=cap)
+
+        x = jax.vmap(vox)(points, point_mask)        # [B, ny, nx, 5]
+
+        for si, stage in enumerate(self.conf.encoder_channels):
+            for ci, ch in enumerate(stage):
+                stride = 2 if (si > 0 and ci == 0) else 1
+                x = ConvBN(ch, 3, stride, bn_axis_name=self.bn_axis_name,
+                           name=f'stage{si}_conv{ci}')(x, train)
+        # z-flatten equivalent: project to the 256-ch BEV contract
+        x = ConvBN(self.conf.out_channels, 3, 1, bn_axis_name=self.bn_axis_name,
+                   name='out_conv')(x, train)
+        return x

@@ -1,0 +1,47 @@
+"""SECONDFPN neck (flax, NHWC).
+
+Replaces mmdet3d's SECONDFPN, used twice by the reference:
+  * image neck: in [256,512,1024,2048], strides [0.25,0.5,1,2] -> 4x128ch
+    concat at /16 (conf_aim.py:62-68)
+  * BEV neck: in [160,320,640], strides [8,16,32] -> 3x64ch concat
+    (conf_aim.py:112-115)
+
+Per level: stride > 1 -> ConvTranspose(kernel=stride, stride=stride);
+stride <= 1 -> Conv(kernel=stride^-1, stride=stride^-1); each followed by
+BN + ReLU; outputs concatenated on channels (mmdet3d SECONDFPN semantics).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ['SECONDFPN']
+
+
+class SECONDFPN(nn.Module):
+    out_channels: Sequence[int]
+    upsample_strides: Sequence[float]
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        assert len(feats) == len(self.out_channels) == len(self.upsample_strides)
+        outs = []
+        for i, (x, ch, us) in enumerate(zip(feats, self.out_channels,
+                                            self.upsample_strides)):
+            if us >= 1:
+                s = int(round(us))
+                x = nn.ConvTranspose(ch, (s, s), strides=(s, s),
+                                     padding='VALID', use_bias=False,
+                                     name=f'deblock{i}_conv')(x)
+            else:
+                s = int(round(1 / us))
+                x = nn.Conv(ch, (s, s), strides=(s, s), padding='VALID',
+                            use_bias=False, name=f'deblock{i}_conv')(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, axis_name=self.bn_axis_name,
+                             name=f'deblock{i}_bn')(x)
+            outs.append(nn.relu(x))
+        return jnp.concatenate(outs, axis=-1)

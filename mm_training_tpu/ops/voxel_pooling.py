@@ -1,0 +1,95 @@
+"""LSS voxel pooling ("splat") — TPU-native.
+
+The reference implements this as a CUDA scatter-add kernel
+(ops/voxel_pooling/src/voxel_pooling_forward_cuda.cu:9-36: one thread per
+frustum point, atomicAdd of its C-vector into output[b, y, x, :]) with a
+Python gather backward (ops/voxel_pooling/voxel_pooling.py:57-69).
+
+TPU re-design — two levels:
+
+1. ``voxel_pooling``: drop-in semantic equivalent built on ``segment_sum``
+   (sort + segmented reduce: the TPU-friendly scatter). Differentiable through
+   JAX's native VJP (the backward is the same index gather the reference does
+   by hand). Used for parity tests and generic pooling.
+
+2. ``lift_splat``: the hot-path factorization (MatrixVT-style). Instead of
+   materializing the D x C outer product per pixel and scattering B*N*D*fH*fW
+   C-vectors, note
+
+       bev[g, c] = sum_{(d,p): cell(d,p)=g} depth[d, p] * ctx[p, c]
+                 = sum_p A[g, p] * ctx[p, c],   A[g, p] = sum_{d -> g} depth[d, p]
+
+   so we scatter only the *scalar* depths into a ray-marching matrix A
+   (C=80x less scatter traffic) and do the rest as one MXU matmul. Exactly
+   equal to the reference computation (addition reordering only).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['voxel_pooling', 'lift_splat']
+
+
+def voxel_pooling(geom_xyz: jnp.ndarray, features: jnp.ndarray, voxel_num) -> jnp.ndarray:
+    """Scatter-add point features onto a BEV grid.
+
+    Args:
+      geom_xyz: [B, N, 3] int32 voxel coords (x, y, z); out-of-range dropped.
+      features: [B, N, C] float features.
+      voxel_num: static (nx, ny, nz).
+
+    Returns:
+      [B, ny, nx, C] BEV feature map (NHWC; the reference returns NCHW).
+    """
+    nx, ny, nz = (int(v) for v in voxel_num)
+    b, n, c = features.shape
+    g = nx * ny
+    x, y, z = geom_xyz[..., 0], geom_xyz[..., 1], geom_xyz[..., 2]
+    valid = (x >= 0) & (x < nx) & (y >= 0) & (y < ny) & (z >= 0) & (z < nz)
+    flat = jnp.where(valid, y * nx + x, g)                       # [B, N]
+    seg = flat + (g + 1) * jnp.arange(b, dtype=jnp.int32)[:, None]
+    out = jax.ops.segment_sum(
+        features.reshape(b * n, c), seg.reshape(b * n),
+        num_segments=b * (g + 1))
+    return out.reshape(b, g + 1, c)[:, :g].reshape(b, ny, nx, c)
+
+
+def _lift_splat_one(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
+                    n_cells: int) -> jnp.ndarray:
+    """Single-camera factorized splat.
+
+    depth:    [D, P]   softmax depth (or one-hot oracle)
+    ctx:      [P, C]   context features
+    flat_idx: [D, P]   int32 BEV cell id in [0, n_cells] (n_cells = trash bin)
+    returns   [n_cells, C]
+    """
+    d, p = depth.shape
+    pix = jax.lax.broadcasted_iota(jnp.int32, (d, p), 1)
+    seg = flat_idx * p + pix                                     # [(G+1)*P) ids
+    a = jax.ops.segment_sum(depth.reshape(-1), seg.reshape(-1),
+                            num_segments=(n_cells + 1) * p)
+    a = a.reshape(n_cells + 1, p)[:n_cells]
+    return jnp.dot(a, ctx, preferred_element_type=jnp.float32)
+
+
+def lift_splat(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
+               n_cells: int) -> jnp.ndarray:
+    """Factorized lift-splat over a batch of cameras, scanned to bound memory
+    (the ray matrix A is [n_cells, P] per camera).
+
+    Args:
+      depth:    [M, D, P]  per-camera depth distributions.
+      ctx:      [M, P, C]  per-camera context features.
+      flat_idx: [M, D, P]  int32 BEV cell ids in [0, n_cells].
+      n_cells:  static number of BEV cells (ny * nx).
+
+    Returns:
+      [M, n_cells, C] splatted BEV features (caller reshapes / sums cameras).
+    """
+    def step(_, args):
+        dep, cx, fi = args
+        return None, _lift_splat_one(dep, cx, fi, n_cells)
+
+    _, out = jax.lax.scan(step, None, (depth, ctx, flat_idx))
+    return out

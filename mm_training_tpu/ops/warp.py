@@ -1,0 +1,90 @@
+"""XLA-native image warps (affine BEV warp, horizontal flip, bilinear resize).
+
+Replaces the reference's kornia GPU warps:
+  * BDA applied to the camera BEV via ``warp_affine`` (models/bev_depth.py:69-84)
+  * per-image ``hflip`` augmentation / un-flip (mm_training_aim.py:100-108,
+    lss_fpn.py:425)
+  * lidar-BEV bilinear upsample (models/bev_depth.py:189)
+
+All NHWC, all static shapes, all fuse under jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['warp_affine_nhwc', 'bda_bev_warp', 'hflip', 'resize_bilinear']
+
+
+def _bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+    """Sample img [H, W, C] at continuous pixel coords (zero padding)."""
+    h, w, _ = img.shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = xs - x0
+    wy = ys - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        val = img[yi_c, xi_c]
+        return jnp.where(inb[..., None], val, 0.0)
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i + 1, y0i)
+    v10 = tap(x0i, y0i + 1)
+    v11 = tap(x0i + 1, y0i + 1)
+    top = v00 * (1 - wx)[..., None] + v01 * wx[..., None]
+    bot = v10 * (1 - wx)[..., None] + v11 * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+def warp_affine_nhwc(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+    """kornia-style warp_affine: ``dst(q) = src(inv(M) q)`` in pixel coords.
+
+    img: [B, H, W, C]; mat: [B, 3, 3] src->dst pixel transform.
+    """
+    b, h, w, _ = img.shape
+    inv = jnp.linalg.inv(mat)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ones = jnp.ones_like(xs)
+    q = jnp.stack([xs, ys, ones], axis=-1)                       # [H, W, 3]
+
+    def one(im, m):
+        p = q @ m.T
+        return _bilinear_sample(im, p[..., 0] / p[..., 2], p[..., 1] / p[..., 2])
+
+    return jax.vmap(one)(img, inv)
+
+
+def bda_bev_warp(bev: jnp.ndarray, bda_mat: jnp.ndarray) -> jnp.ndarray:
+    """Apply the BEV-aug rotation/flip/scale to a BEV map.
+
+    Matches models/bev_depth.py:69-84: pixel transform =
+    T(+c) @ bda[:3,:3] @ T(-c) with c = ((W-1)/2, (H-1)/2).
+
+    bev: [B, H, W, C]; bda_mat: [B, 4, 4] (or [B, 3, 3]).
+    """
+    b, h, w, _ = bev.shape
+    r = bda_mat[:, :3, :3] if bda_mat.shape[-1] == 4 else bda_mat
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    t_fwd = jnp.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], jnp.float32)
+    t_bwd = jnp.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], jnp.float32)
+    mat = t_fwd[None] @ r @ t_bwd[None]
+    return warp_affine_nhwc(bev, mat)
+
+
+def hflip(img: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal flip of [..., H, W, C]."""
+    return jnp.flip(img, axis=-2)
+
+
+def resize_bilinear(img: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear resize of [B, H, W, C] (torch F.upsample default semantics:
+    align_corners=False)."""
+    b, _, _, c = img.shape
+    return jax.image.resize(img, (b, out_hw[0], out_hw[1], c), method='bilinear')
