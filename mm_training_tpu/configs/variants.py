@@ -63,11 +63,13 @@ def eval_lidar_radar(eval_split: Optional[str] = 'night', ckpt_path: Optional[st
 
 def tiny_test_config(use_cam: bool = False, use_lidar: bool = True,
                      use_radar: bool = True, **kw) -> Config:
-    """A miniature geometry for CPU tests: 51.2 x 12.8 m range, 128x32 grid,
+    """A miniature geometry for CPU tests: 51.2 x 25.6 m range, 256x128 grid,
     64x128 images, tiny capacities. Keeps all structural invariants
-    (grid/8 head input, grid/4 target map, 409-like depth binning scaled down).
+    (grid/8 head input, grid/4 target map, 409-like depth binning scaled
+    down). The y extent keeps the BEV height a multiple of 128 so the head
+    trunk (/4 stem + two stride-2 stages below the /8 input) never rounds.
     """
-    pc = (-25.6, -6.4, -5.0, 25.6, 6.4, 3.0)
+    pc = (-25.6, -12.8, -5.0, 25.6, 12.8, 3.0)
     base = dict(
         experiment_name='tiny', batch_size=2,
         H=64, W=128,

@@ -1,0 +1,191 @@
+"""aiMotive dataset: keyframe indexing, augmentation, fixed-shape batching.
+
+Re-design of dataset/src/aimotive_dataset.py. Differences by design:
+  * every sample is padded to static shapes (points -> max_points with mask,
+    boxes -> max_objs with mask) so the whole train step is one XLA program;
+    the reference emits ragged lists.
+  * augmentation RNG is deterministic per (seed, epoch, index).
+  * the image augs (albumentations HueSaturationValue /
+    RandomBrightnessContrast / CoarseDropout, aimotive_dataset.py:53-57) are
+    re-implemented in numpy/cv2 with the same default parameter ranges.
+  * the 30-retry IO loop (aimotive_dataset.py:106-112, which NameErrors when
+    all retries fail) becomes a bounded retry that re-raises the last error.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..configs import BDAAugConf, Config
+from ..core.transforms import bda_transform, sample_bda
+from .formats import Sequence
+from .frame_loader import FrameData, FrameLoader
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+__all__ = ['AiMotiveDataset', 'collate_aim', 'augment_image_np']
+
+
+def get_frames(root: str, split: str, look_back=0, look_forward=0,
+               eval_odd: str = 'all') -> List[str]:
+    """Walk root/split/ODD/sequence trees (aimotive_dataset.py:157-179)."""
+    paths = []
+    odd_path = os.path.join(root, split)
+    for odd in sorted(os.listdir(odd_path)):
+        if eval_odd != 'all' and odd != eval_odd:
+            continue
+        for seq in sorted(os.listdir(os.path.join(odd_path, odd))):
+            seq_path = os.path.join(odd_path, odd, seq)
+            paths.extend(Sequence(seq_path, look_back, look_forward).get_frames())
+    return paths
+
+
+def augment_image_np(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """HSV jitter + brightness/contrast + coarse dropout, albumentations
+    default probabilities/ranges (each p=0.5; hue+-20, sat+-30, val+-20;
+    brightness/contrast +-0.15; up to 8 holes of 24x24)."""
+    img = img.copy()
+    if cv2 is not None and rng.random() < 0.5:
+        hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + rng.integers(-20, 21)) % 180
+        hsv[..., 1] = np.clip(hsv[..., 1] + rng.integers(-30, 31), 0, 255)
+        hsv[..., 2] = np.clip(hsv[..., 2] + rng.integers(-20, 21), 0, 255)
+        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+    if rng.random() < 0.5:
+        alpha = 1.0 + rng.uniform(-0.15, 0.15)
+        beta = rng.uniform(-0.15, 0.15) * 255.0
+        img = np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+    if rng.random() < 0.5:
+        h, w = img.shape[:2]
+        for _ in range(int(rng.integers(1, 9))):
+            hh = int(rng.integers(8, 25))
+            ww = int(rng.integers(8, 25))
+            y0 = int(rng.integers(0, max(h - hh, 1)))
+            x0 = int(rng.integers(0, max(w - ww, 1)))
+            img[y0:y0 + hh, x0:x0 + ww] = 0
+    return img
+
+
+class AiMotiveDataset:
+    """Map-style dataset yielding fixed-shape numpy sample dicts."""
+
+    def __init__(self, root_dir: str, cfg: Config, split: str = 'train',
+                 eval_odd: Optional[str] = None, retries: int = 30):
+        self.cfg = cfg
+        self.split = split
+        self.retries = retries
+        odd = eval_odd if eval_odd is not None else (cfg.eval_split or 'all')
+        self.dataset_index = get_frames(root_dir, split, cfg.look_back,
+                                        cfg.look_forward,
+                                        odd if split != 'train' else 'all')
+        self.frame_loader = FrameLoader(
+            split, cfg.point_cloud_range, cfg.use_cam, cfg.use_lidar,
+            cfg.use_radar, cfg.look_back, cfg.look_forward)
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.dataset_index)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    # ---------------------------------------------------------------- items
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        err = None
+        for _ in range(self.retries):
+            try:
+                frame = self.frame_loader[self.dataset_index[index]]
+                break
+            except Exception as e:  # bounded retry (transient FS errors)
+                err = e
+        else:
+            raise RuntimeError(
+                f'failed to load {self.dataset_index[index]}') from err
+        return self._to_sample(frame, index)
+
+    def _to_sample(self, frame: FrameData, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        training = self.split == 'train'
+        rng = np.random.default_rng(
+            (cfg.seed * 1_000_003 + self.epoch * 97 + index) & 0x7FFFFFFF)
+
+        # ---- BDA augmentation (aimotive_dataset.py:64-103,146-153)
+        rot, scale, fdx, fdy = sample_bda(rng, cfg.bda_aug_conf, training)
+        boxes, bda_rot = bda_transform(frame.objects, rot, scale, fdx, fdy)
+        bda_mat = np.eye(4, dtype=np.float32)
+        bda_mat[:3, :3] = bda_rot
+
+        points = frame.points.astype(np.float32, copy=True)
+        points[:, :3] = points[:, :3] @ bda_rot.T
+
+        # ---- fixed-shape padding
+        p_cap = cfg.max_points
+        n_feat = 8 if cfg.use_radar else 5
+        pts = np.zeros((p_cap, n_feat), np.float32)
+        mask = np.zeros((p_cap,), bool)
+        n = min(points.shape[0], p_cap)
+        pts[:n] = points[:n, :n_feat]
+        mask[:n] = True
+
+        k_cap = cfg.max_objs
+        gt_boxes = np.zeros((k_cap, 9), np.float32)
+        gt_labels = np.zeros((k_cap,), np.int32)
+        gt_mask = np.zeros((k_cap,), bool)
+        k = min(boxes.shape[0], k_cap)
+        gt_boxes[:k] = boxes[:k, :9]
+        gt_labels[:k] = boxes[:k, 9].astype(np.int32)
+        gt_mask[:k] = True
+
+        sample: Dict[str, np.ndarray] = {
+            'points': pts, 'point_mask': mask,
+            'gt_boxes': gt_boxes, 'gt_labels': gt_labels, 'gt_mask': gt_mask,
+            'bda_mat': bda_mat,
+        }
+
+        # ---- cameras
+        if cfg.use_cam:
+            imgs, s2e, intr, extr = [], [], [], []
+            for cam in frame.cameras[:cfg.num_cameras]:
+                img = cam.image
+                if training:
+                    img = augment_image_np(img, rng)
+                img4 = np.concatenate(
+                    [img.astype(np.float32),
+                     np.full(img.shape[:2] + (1,), frame.camera_timestamp,
+                             np.float32)], axis=-1)
+                imgs.append(img4)
+                ext = cam.camera_params.extrinsic.astype(np.float32)
+                extr.append(ext)
+                s2e.append(np.linalg.inv(ext))
+                i4 = np.eye(4, dtype=np.float32)
+                i4[:3, :4] = cam.camera_params.intrinsic[:3, :4]
+                intr.append(i4)
+            sample['imgs'] = np.stack(imgs)[None]          # [S=1, N, H, W, 4]
+            sample['sensor2ego'] = np.stack(s2e)[None]
+            sample['intrin'] = np.stack(intr)[None]
+            sample['extrinsics'] = np.stack(extr)[None]
+        else:
+            sample['imgs'] = np.zeros((1, 1, 1, 1, 4), np.float32)
+            sample['sensor2ego'] = np.eye(4, dtype=np.float32)[None, None]
+            sample['intrin'] = np.eye(4, dtype=np.float32)[None, None]
+            sample['extrinsics'] = np.eye(4, dtype=np.float32)[None, None]
+
+        sample['path'] = frame.path  # host metadata, stripped before device put
+        return sample
+
+
+def collate_aim(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack fixed-shape samples into one batch dict (replaces the ragged
+    collate of aimotive_dataset.py:182-231). 'path' stays a python list."""
+    batch = {}
+    for key in samples[0]:
+        if key == 'path':
+            batch['path'] = [s['path'] for s in samples]
+        else:
+            batch[key] = np.stack([s[key] for s in samples])
+    return batch

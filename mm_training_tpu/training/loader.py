@@ -1,0 +1,89 @@
+"""Host data loading: shuffling, threaded prefetch, fixed-shape batches.
+
+Replaces the torch DataLoader workers (mm_training_aim.py:533-565,
+num_workers=8). cv2/numpy release the GIL for the heavy work (JPEG decode,
+remap, point transforms), so a thread pool keeps the TPU fed without process
+overhead; batches are plain numpy dicts ready for ``jax.device_put``.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..data.aimotive_dataset import collate_aim
+
+__all__ = ['PrefetchLoader']
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch)
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 9973 + self.epoch)
+            rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size:(b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = list(self._batches())
+        if not batches:
+            return iter(())
+
+        def load_batch(indices):
+            with ThreadPoolExecutor(max_workers=min(self.num_workers,
+                                                    len(indices))) as ex:
+                samples = list(ex.map(self.dataset.__getitem__, indices))
+            return collate_aim(samples)
+
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for bi in batches:
+                if stop.is_set():
+                    return
+                q.put(load_batch(bi))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        def gen():
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    yield item
+            finally:
+                stop.set()
+
+        return gen()

@@ -1,0 +1,256 @@
+"""Jitted train / eval step builders.
+
+Re-design of the reference's Lightning module hot path
+(exps/mm_training_aim.py training_step/eval_step/predict_step): all
+device-side preprocessing (image normalization, random horizontal flips,
+depth-label projection), the model forward, target generation, losses, the
+optimizer update, and box decoding compile into single XLA programs over the
+data-parallel mesh. Global-view jit makes the reference's DDP plumbing
+(gradient all-reduce, `reduce_mean` normalizers, `sync_dist` logging)
+implicit: sums over the global batch are the cross-device reductions.
+
+Deviation (documented): when an image is flipped for augmentation, the depth
+*oracle* fed to the lift is kept in the unflipped frame to stay consistent
+with the unflipped context features and camera geometry; the reference feeds
+flipped labels against unflipped features (lss_fpn.py:423-443) — a latent
+inconsistency. The depth *loss* still compares flipped predictions against
+flipped labels, exactly like the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import Config
+from ..models import BEVDepthLiDAR, decode_boxes, detection_loss
+from ..models.centerpoint_head import get_targets_batch
+from ..ops.depth_labels import depth_labels as compute_depth_labels
+
+__all__ = ['TrainState', 'create_train_state', 'make_train_step',
+           'make_eval_step', 'make_predict_step', 'IMAGENET_MEAN',
+           'IMAGENET_STD']
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+    ema_batch_stats: Any = None
+
+
+def create_train_state(cfg: Config, model: BEVDepthLiDAR, tx, rng,
+                       sample_batch) -> TrainState:
+    # jit the init: eager init dispatches each op separately, which is
+    # pathologically slow over a remote-device tunnel
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        rng, sample_batch, None, False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=params if cfg.use_ema else None,
+        ema_batch_stats=batch_stats if cfg.use_ema else None,
+    )
+    return state
+
+
+# ------------------------------------------------------------- preprocessing
+
+def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:
+    """Drop the timestamp channel and ImageNet-normalize
+    (mm_training_aim.py:510-512)."""
+    x = imgs[..., :3] / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return (x - mean) / std
+
+
+def _prepare_camera_inputs(cfg: Config, batch, rng, training: bool):
+    """Depth labels + normalization + random hflip; returns the updated model
+    batch, flipped depth labels (for the loss), and the oracle input."""
+    imgs = normalize_images(batch['imgs'])           # [B, S, N, H, W, 3]
+    b, s, n = imgs.shape[:3]
+
+    # depth labels from the un-augmented cloud (mm_training_aim.py:115-141)
+    inv_bda = jnp.linalg.inv(batch['bda_mat'])       # [B, 4, 4]
+
+    def labels_one(points, mask, extr, intr, ibda):
+        pts = points.at[:, :3].set(
+            jnp.matmul(points[:, :3], ibda[:3, :3].T, precision='highest'))
+        bb = cfg.get_backbone_conf()
+        return compute_depth_labels(
+            pts, mask, extr.reshape(-1, 4, 4), intr.reshape(-1, 4, 4),
+            cfg.final_dim, bb.downsample_factor, bb.d_bound, bb.depth_channels)
+
+    labels = jax.vmap(labels_one)(
+        batch['points'], batch['point_mask'], batch['extrinsics'],
+        batch['intrin'], inv_bda)                    # [B, S*N, fh, fw, D]
+    labels = labels.reshape((b * s * n,) + labels.shape[2:])
+
+    if training:
+        flips = jax.random.bernoulli(rng, 0.5, (b * s * n,))
+    else:
+        flips = jnp.zeros((b * s * n,), bool)
+
+    flat = imgs.reshape((b * s * n,) + imgs.shape[3:])
+    flat = jnp.where(flips[:, None, None, None], jnp.flip(flat, axis=-2), flat)
+    imgs = flat.reshape(imgs.shape)
+
+    labels_flipped = jnp.where(flips[:, None, None, None],
+                               jnp.flip(labels, axis=-2), labels)
+
+    # key-frame labels for the loss (mm_training_aim.py:261-263)
+    loss_labels = labels_flipped.reshape((b, s, n) + labels.shape[1:])[:, 0]
+    loss_labels = loss_labels.reshape((b * n,) + labels.shape[1:])
+    oracle = (labels.reshape((b, s, n) + labels.shape[1:])[:, 0]
+              .reshape((b * n,) + labels.shape[1:])
+              if cfg.use_depth_loss else None)
+
+    model_batch = dict(batch)
+    model_batch['imgs'] = imgs
+    model_batch['flipped'] = flips
+    return model_batch, loss_labels, oracle
+
+
+def depth_loss_fn(depth_labels: jnp.ndarray, depth_preds: jnp.ndarray) -> jnp.ndarray:
+    """3.0 x foreground-masked BCE (mm_training_aim.py:165-178; the fg mask is
+    all-true for one-hot-with-bin-0 labels — quirk preserved)."""
+    d = depth_labels.shape[-1]
+    t = depth_labels.reshape(-1, d)
+    p = jnp.clip(depth_preds.reshape(-1, d), 1e-7, 1 - 1e-7)
+    fg = (jnp.max(t, axis=1) > 0.0).astype(p.dtype)
+    bce = -(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+    per_px = bce.sum(-1) * fg
+    return 3.0 * per_px.sum() / jnp.maximum(1.0, fg.sum())
+
+
+def _strip_host_fields(batch):
+    return {k: v for k, v in batch.items() if k != 'path'}
+
+
+# ------------------------------------------------------------------ builders
+
+def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
+    head_conf = cfg.get_head_conf()
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        batch = _strip_host_fields(batch)
+        rng_flip, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        if cfg.use_cam:
+            model_batch, d_labels, oracle = _prepare_camera_inputs(
+                cfg, batch, rng_flip, training=True)
+        else:
+            model_batch = dict(batch)
+            model_batch['flipped'] = jnp.zeros(
+                (batch['imgs'].shape[0] * batch['imgs'].shape[1]
+                 * batch['imgs'].shape[2],), bool)
+            d_labels, oracle = None, None
+
+        targets = jax.lax.stop_gradient(get_targets_batch(
+            head_conf, batch['gt_boxes'], batch['gt_labels'], batch['gt_mask']))
+
+        def loss_fn(params):
+            (preds, depth_pred, _, _), mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                model_batch, oracle, True,
+                mutable=['batch_stats'], rngs={'dropout': rng_drop})
+            det = detection_loss(head_conf, targets, preds)
+            dep = (depth_loss_fn(d_labels, depth_pred)
+                   if cfg.use_cam else jnp.zeros(()))
+            return det + dep, (det, dep, mutated['batch_stats'])
+
+        (loss, (det, dep, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        if cfg.use_ema:
+            from .ema import ema_update
+            new_state = new_state.replace(
+                ema_params=ema_update(state.ema_params, new_params,
+                                      new_state.step, cfg.ema_decay),
+                ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
+                                           new_state.step, cfg.ema_decay))
+
+        metrics = {'train_loss': loss, 'train_detection_loss': det,
+                   'train_depth_loss': dep,
+                   'grad_norm': optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
+    """Forward + loss + decode, no updates (eval_step, mm_training_aim.py:291)."""
+    head_conf = cfg.get_head_conf()
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = _strip_host_fields(batch)
+        if cfg.use_cam:
+            model_batch, d_labels, oracle = _prepare_camera_inputs(
+                cfg, batch, jax.random.PRNGKey(0), training=False)
+        else:
+            model_batch = dict(batch)
+            model_batch['flipped'] = jnp.zeros(
+                (batch['imgs'].shape[0] * batch['imgs'].shape[1]
+                 * batch['imgs'].shape[2],), bool)
+            d_labels, oracle = None, None
+
+        preds, depth_pred, _, _ = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            model_batch, oracle, False)
+
+        targets = get_targets_batch(head_conf, batch['gt_boxes'],
+                                    batch['gt_labels'], batch['gt_mask'])
+        det = detection_loss(head_conf, targets, preds)
+        dep = (depth_loss_fn(d_labels, depth_pred)
+               if cfg.use_cam else jnp.zeros(()))
+
+        boxes, scores, labels, valid = decode_boxes(head_conf, preds)
+        metrics = {'detection_loss': det, 'depth_loss': dep,
+                   'loss': det + dep}
+        return metrics, (boxes, scores, labels, valid)
+
+    return eval_step
+
+
+def make_predict_step(cfg: Config, model: BEVDepthLiDAR):
+    """Forward + decode only (predict_step, mm_training_aim.py:344-369)."""
+    head_conf = cfg.get_head_conf()
+
+    @jax.jit
+    def predict_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = _strip_host_fields(batch)
+        if cfg.use_cam:
+            model_batch, _, oracle = _prepare_camera_inputs(
+                cfg, batch, jax.random.PRNGKey(0), training=False)
+        else:
+            model_batch = dict(batch)
+            model_batch['flipped'] = jnp.zeros(
+                (batch['imgs'].shape[0] * batch['imgs'].shape[1]
+                 * batch['imgs'].shape[2],), bool)
+            oracle = None
+        preds, _, _, _ = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            model_batch, oracle, False)
+        return decode_boxes(head_conf, preds)
+
+    return predict_step

@@ -1,0 +1,335 @@
+"""Training runtime: epoch loop, checkpoints, early stopping, eval, export.
+
+Re-design of the reference's Lightning wiring (exps/mm_training_aim.py:
+BEVDepthLightningModel + create_trainer):
+  * fit: epoch loop with jitted train step over the data mesh, per-epoch
+    validation, top-k checkpointing by val_detection_loss + a 'latest'
+    checkpoint every N steps (mm_training_aim.py:590-604), early stopping
+    (patience 8 on val_detection_loss, :597), config snapshot (:582-583).
+  * validate/test: decode on device, BEV mAP on host via MAPCalculator
+    (:291-342,416-422), aiMotive-format JSON export mirroring the dataset
+    tree (:514-519).
+  * checkpoints are orbax pytrees {params, batch_stats, opt_state, step,
+    ema_*}; resume via Config.ckpt_path (:638).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CLASSES, Config
+from ..core.transforms import yaw_to_quat
+from ..data.aimotive_dataset import AiMotiveDataset
+from ..evaluation import MAPCalculator
+from ..models import BEVDepthLiDAR
+from ..parallel import make_mesh, shard_batch
+from ..utils.logging import MetricsLogger
+from .loader import PrefetchLoader
+from .optim import make_optimizer
+from .train_step import (TrainState, create_train_state, make_eval_step,
+                         make_predict_step, make_train_step)
+
+try:
+    import orbax.checkpoint as ocp
+except ImportError:  # pragma: no cover
+    ocp = None
+
+__all__ = ['Trainer', 'boxes_to_aimotive_dict']
+
+
+def boxes_to_aimotive_dict(boxes: np.ndarray, scores: np.ndarray,
+                           labels: np.ndarray, class_names=CLASSES) -> dict:
+    """Decoded boxes (bottom-z) -> aiMotive CapturedObjects JSON
+    (pred_dict_to_aimotive_dict, mm_training_aim.py:218-250: origin z =
+    bottom z + dz/2)."""
+    out = {'CapturedObjects': []}
+    for box, score, label in zip(boxes, scores, labels):
+        quat = yaw_to_quat(float(box[6]))
+        out['CapturedObjects'].append({
+            'BoundingBox3D Origin X': float(box[0]),
+            'BoundingBox3D Origin Y': float(box[1]),
+            'BoundingBox3D Origin Z': float(box[2]) + float(box[5]) / 2,
+            'BoundingBox3D Extent X': float(box[3]),
+            'BoundingBox3D Extent Y': float(box[4]),
+            'BoundingBox3D Extent Z': float(box[5]),
+            'BoundingBox3D Relative Velocity X': float(box[7]),
+            'BoundingBox3D Relative Velocity Y': float(box[8]),
+            'BoundingBox3D Relative Velocity Z': 0,
+            'BoundingBox3D Orientation Quat X': float(quat[0]),
+            'BoundingBox3D Orientation Quat Y': float(quat[1]),
+            'BoundingBox3D Orientation Quat Z': float(quat[2]),
+            'BoundingBox3D Orientation Quat W': float(quat[3]),
+            'ObjectType': class_names[int(label)],
+            'Score': float(score),
+        })
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: Config, data_root: Optional[str] = None,
+                 mesh=None, datasets: Optional[Dict[str, object]] = None):
+        self.cfg = cfg
+        self.data_root = data_root or cfg.data_root
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = BEVDepthLiDAR(cfg)
+        self.map_calculator = MAPCalculator()
+        self.state: Optional[TrainState] = None
+        self._datasets = datasets or {}
+        self._loaders: Dict[str, PrefetchLoader] = {}
+        self.out_path = Path(cfg.output_path)
+        self.logger = MetricsLogger(self.out_path, cfg.experiment_name,
+                                    log_every=cfg.log_every_n_steps)
+        self._ckpt_managers = {}
+        self.global_step = 0
+
+    # ----------------------------------------------------------------- data
+    def dataset(self, split: str) -> AiMotiveDataset:
+        if split not in self._datasets:
+            self._datasets[split] = AiMotiveDataset(self.data_root, self.cfg,
+                                                    split=split)
+        return self._datasets[split]
+
+    def loader(self, split: str) -> PrefetchLoader:
+        if split not in self._loaders:
+            self._loaders[split] = PrefetchLoader(
+                self.dataset(split), self.cfg.batch_size,
+                shuffle=(split == 'train'), num_workers=self.cfg.num_workers,
+                seed=self.cfg.seed)
+        return self._loaders[split]
+
+    # ---------------------------------------------------------------- setup
+    def setup(self, steps_per_epoch: Optional[int] = None):
+        cfg = self.cfg
+        if steps_per_epoch is None:
+            try:
+                steps_per_epoch = max(1, len(self.loader('train')))
+            except Exception:
+                steps_per_epoch = 1000
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        self._train_step = make_train_step(cfg, self.model, self.tx)
+        self._eval_step = make_eval_step(cfg, self.model)
+        self._predict_step = make_predict_step(cfg, self.model)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.out_path.mkdir(parents=True, exist_ok=True)
+        # config snapshot (create_trainer copies conf_aim.py; we dump the
+        # dataclass, mm_training_aim.py:582-583)
+        with open(self.out_path / 'config.json', 'w') as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray], rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        device_batch = shard_batch(self.mesh, _strip(sample_batch))
+        model_batch = dict(device_batch)
+        b, s, n = model_batch['imgs'].shape[:3]
+        model_batch['imgs'] = model_batch['imgs'][..., :3]
+        model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
+        self.state = create_train_state(self.cfg, self.model, self.tx, rng,
+                                        model_batch)
+        if self.cfg.ckpt_path:
+            self.restore(self.cfg.ckpt_path)
+        return self.state
+
+    # ----------------------------------------------------------- checkpoint
+    def _manager(self, name: str, best: bool):
+        if ocp is None:
+            return None
+        if name not in self._ckpt_managers:
+            path = (self.out_path / 'saved_models' / name).absolute()
+            if best:
+                opts = ocp.CheckpointManagerOptions(
+                    max_to_keep=self.cfg.save_top_k,
+                    best_fn=lambda m: m['val_detection_loss'],
+                    best_mode='min')
+            else:
+                opts = ocp.CheckpointManagerOptions(max_to_keep=1)
+            self._ckpt_managers[name] = ocp.CheckpointManager(path, options=opts)
+        return self._ckpt_managers[name]
+
+    def save_checkpoint(self, name='best', metrics: Optional[dict] = None):
+        mgr = self._manager(name, best=(name == 'best'))
+        if mgr is None or self.state is None:
+            return
+        mgr.save(int(self.state.step),
+                 args=ocp.args.StandardSave(_state_to_pytree(self.state)),
+                 metrics=metrics)
+        mgr.wait_until_finished()
+
+    def restore(self, path: str):
+        """Restore params/opt state from an orbax directory (a manager root
+        or a single step dir)."""
+        assert self.state is not None, 'call init_state first'
+        path = os.path.abspath(path)
+        restored = None
+        if os.path.isdir(path):
+            step_dirs = [d for d in os.listdir(path) if d.isdigit()]
+            if step_dirs:
+                path = os.path.join(path, str(max(int(d) for d in step_dirs)))
+            # CheckpointManager saves the pytree under the 'default' item
+            if os.path.isdir(os.path.join(path, 'default')):
+                path = os.path.join(path, 'default')
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(path, _state_to_pytree(self.state))
+        if restored is not None:
+            self.state = _pytree_to_state(self.state, restored)
+            self.global_step = int(self.state.step)
+        return self.state
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, max_epochs: Optional[int] = None,
+            max_steps: Optional[int] = None):
+        cfg = self.cfg
+        max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
+        train_loader = self.loader('train')
+        if self.state is None:
+            self.setup() if not hasattr(self, '_train_step') else None
+            first = next(iter(train_loader))
+            self.init_state(first)
+
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        best_val = float('inf')
+        patience = 0
+
+        # sanity val steps (num_sanity_val_steps=2, mm_training_aim.py:624)
+        if cfg.num_sanity_val_steps:
+            self._run_eval('val', max_batches=cfg.num_sanity_val_steps,
+                           log=False)
+
+        for epoch in range(max_epochs):
+            train_loader.set_epoch(epoch)
+            t_epoch = time.time()
+            n_samples = 0
+            for batch in train_loader:
+                device_batch = shard_batch(self.mesh, _strip(batch))
+                self.state, metrics = self._train_step(self.state, device_batch,
+                                                       rng)
+                self.global_step = int(self.state.step)
+                n_samples += batch['points'].shape[0]
+                self.logger.log_step(self.global_step, metrics)
+                if (cfg.latest_every_n_steps
+                        and self.global_step % cfg.latest_every_n_steps == 0):
+                    self.save_checkpoint('latest')
+                if max_steps and self.global_step >= max_steps:
+                    break
+            dt = time.time() - t_epoch
+            self.logger.log_scalar(self.global_step, 'samples_per_sec',
+                                   n_samples / max(dt, 1e-9))
+
+            val_metrics = self._run_eval('val')
+            vloss = val_metrics.get('val_detection_loss', float('inf'))
+            self.save_checkpoint('best', metrics={'val_detection_loss': vloss})
+            if vloss < best_val:
+                best_val, patience = vloss, 0
+            else:
+                patience += 1
+                if patience >= cfg.early_stop_patience:
+                    break
+            if max_steps and self.global_step >= max_steps:
+                break
+        return self.state
+
+    # ----------------------------------------------------------------- eval
+    def _run_eval(self, split: str, prefix: Optional[str] = None,
+                  max_batches: Optional[int] = None, log: bool = True,
+                  export: bool = False) -> Dict[str, float]:
+        cfg = self.cfg
+        prefix = prefix or split
+        loader = self.loader(split)
+        self.map_calculator.reset()
+        agg: Dict[str, float] = {}
+        count = 0
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            device_batch = shard_batch(self.mesh, _strip(batch))
+            metrics, (boxes, scores, labels, valid) = self._eval_step(
+                self.state, device_batch)
+            self._accumulate_map(batch, boxes, scores, labels, valid)
+            if export:
+                self._export_results(batch, boxes, scores, labels, valid)
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            count += 1
+        out = {f'{prefix}_{k}': v / max(count, 1) for k, v in agg.items()}
+        if count and len(self.map_calculator):
+            bev = self.map_calculator.compute_bev(
+                iou_thr=0.3, x_range=cfg.point_cloud_range[3])
+            out.update({f'{prefix}_{k}': float(v) for k, v in bev.items()})
+        self.map_calculator.reset()
+        if log:
+            self.logger.log_eval(self.global_step, out)
+        return out
+
+    def validate(self, max_batches=None):
+        return self._run_eval('val', max_batches=max_batches)
+
+    def test(self, max_batches=None):
+        return self._run_eval('val', prefix='test', max_batches=max_batches,
+                              export=True)
+
+    def predict(self, split='val', max_batches=None):
+        loader = self.loader(split)
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            device_batch = shard_batch(self.mesh, _strip(batch))
+            boxes, scores, labels, valid = self._predict_step(self.state,
+                                                              device_batch)
+            self._export_results(batch, boxes, scores, labels, valid)
+
+    # -------------------------------------------------------------- helpers
+    def _accumulate_map(self, batch, boxes, scores, labels, valid):
+        boxes, scores = np.asarray(boxes), np.asarray(scores)
+        labels, valid = np.asarray(labels), np.asarray(valid)
+        gts, preds = [], []
+        for i in range(boxes.shape[0]):
+            v = valid[i]
+            pb = boxes[i][v].copy()
+            # decode emits bottom z; GT carries center z. BEV metrics ignore
+            # z, keep as-is (parity with result_list, mm_training_aim.py:315)
+            preds.append([pb, scores[i][v], labels[i][v]])
+            gm = batch['gt_mask'][i]
+            gts.append([batch['gt_boxes'][i][gm], batch['gt_labels'][i][gm]])
+        self.map_calculator.update(gts, preds, batch.get('path'))
+
+    def _export_results(self, batch, boxes, scores, labels, valid):
+        boxes, scores = np.asarray(boxes), np.asarray(scores)
+        labels, valid = np.asarray(labels), np.asarray(valid)
+        save_dir = self.out_path / 'outputs'
+        for i, path in enumerate(batch.get('path', [])):
+            v = valid[i]
+            d = boxes_to_aimotive_dict(boxes[i][v], scores[i][v], labels[i][v])
+            rel = path.replace(str(self.data_root), str(save_dir))
+            Path(rel).parent.mkdir(parents=True, exist_ok=True)
+            with open(rel, 'w') as f:
+                json.dump(d, f)
+
+
+def _strip(batch):
+    return {k: v for k, v in batch.items() if k != 'path'}
+
+
+def _state_to_pytree(state: TrainState):
+    tree = {'step': state.step, 'params': state.params,
+            'batch_stats': state.batch_stats, 'opt_state': state.opt_state}
+    if state.ema_params is not None:
+        tree['ema_params'] = state.ema_params
+        tree['ema_batch_stats'] = state.ema_batch_stats
+    return tree
+
+
+def _pytree_to_state(old: TrainState, tree) -> TrainState:
+    return old.replace(step=jnp.asarray(tree['step']), params=tree['params'],
+                       batch_stats=tree['batch_stats'],
+                       opt_state=tree['opt_state'],
+                       ema_params=tree.get('ema_params', old.ema_params),
+                       ema_batch_stats=tree.get('ema_batch_stats',
+                                                old.ema_batch_stats))

@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from mm_training_tpu.configs import tiny_test_config
+from mm_training_tpu.data import AiMotiveDataset, collate_aim, generate_synthetic_dataset
+
+
+@pytest.fixture(scope='module')
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('aim_synth')
+    return generate_synthetic_dataset(str(root), img_hw=(64, 128),
+                                      frames_per_sequence=2)
+
+
+def test_lidar_radar_pipeline(dataset_root):
+    cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
+                           point_cloud_range=(-204.8, -25.6, -5.0, 204.8, 25.6, 3.0))
+    ds = AiMotiveDataset(dataset_root, cfg, split='train')
+    assert len(ds) == 2
+    s = ds[0]
+    assert s['points'].shape == (cfg.max_points, 8)
+    assert s['point_mask'].any()
+    pts = s['points'][s['point_mask']]
+    # radar rows carry is_radar flag in feature 3
+    assert (pts[:, 3] == 1).sum() > 0 and (pts[:, 3] == 0).sum() > 0
+    # some objects survive the >5-point filter
+    assert s['gt_mask'].sum() > 0
+    assert s['gt_labels'][s['gt_mask']].max() <= 4
+    # val split has identity BDA
+    dsv = AiMotiveDataset(dataset_root, cfg, split='val')
+    sv = dsv[0]
+    np.testing.assert_allclose(sv['bda_mat'], np.eye(4))
+
+    batch = collate_aim([ds[0], ds[1]])
+    assert batch['points'].shape == (2, cfg.max_points, 8)
+    assert batch['gt_boxes'].shape == (2, cfg.max_objs, 9)
+    assert len(batch['path']) == 2
+
+
+def test_camera_pipeline(dataset_root):
+    cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=False,
+                           H=64, W=128,
+                           point_cloud_range=(-204.8, -25.6, -5.0, 204.8, 25.6, 3.0))
+    # virtual images are rendered at the production 704x1280; use that size
+    import mm_training_tpu.data.frame_loader as fl
+    old = fl.VIRTUAL_IMAGE_SIZE
+    fl.VIRTUAL_IMAGE_SIZE = (64, 128)
+    try:
+        ds = AiMotiveDataset(dataset_root, cfg, split='train')
+        s = ds[0]
+    finally:
+        fl.VIRTUAL_IMAGE_SIZE = old
+    assert s['imgs'].shape == (1, 2, 64, 128, 4)
+    assert s['sensor2ego'].shape == (1, 2, 4, 4)
+    assert s['intrin'].shape == (1, 2, 4, 4)
+    # timestamp channel is constant per camera and normalized
+    ts = s['imgs'][0, 0, ..., 3]
+    assert np.allclose(ts, ts.flat[0])
+    assert s['points'].shape[-1] == 5  # no radar features
+
+
+def test_bda_transforms_boxes_and_points_consistently(dataset_root):
+    cfg = tiny_test_config(use_cam=False, use_radar=True,
+                           point_cloud_range=(-204.8, -25.6, -5.0, 204.8, 25.6, 3.0))
+    ds = AiMotiveDataset(dataset_root, cfg, split='train')
+    ds.set_epoch(3)
+    s1 = ds[0]
+    s2 = ds[0]
+    # deterministic given (seed, epoch, index)
+    np.testing.assert_allclose(s1['bda_mat'], s2['bda_mat'])
+    np.testing.assert_allclose(s1['points'], s2['points'])
+    ds.set_epoch(4)
+    s3 = ds[0]
+    assert not np.allclose(s1['bda_mat'], s3['bda_mat'])
