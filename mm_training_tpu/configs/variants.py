@@ -73,6 +73,8 @@ def tiny_test_config(use_cam: bool = False, use_lidar: bool = True,
     base = dict(
         experiment_name='tiny', batch_size=2,
         H=64, W=128,
+        precision='fp32',  # CPU tests: bf16 is emulated there; a dedicated
+                           # test covers the bf16 path explicitly
         point_cloud_range=pc,
         use_cam=use_cam, use_lidar=use_lidar, use_radar=use_radar,
         use_depth_loss=use_cam,

@@ -62,16 +62,20 @@ class BEVDepthLiDAR(nn.Module):
         Returns (preds, depth_pred, lidar_bev, cam_bev)."""
         cfg = self.cfg
         depth_pred, img_bev, lidar_bev = None, None, None
+        # mixed precision: activations in compute dtype, geometry (points,
+        # matrices) stays fp32 — bf16 ulp at 200 m is ~1 m, which would
+        # corrupt voxel/pixel indices. Params are cast by the caller.
+        cdtype = jnp.bfloat16 if cfg.precision == 'bf16' else jnp.float32
 
         if cfg.use_cam:
             img_bev, depth_pred = self.backbone(
-                batch['imgs'], batch['sensor2ego'], batch['intrin'],
-                batch['flipped'], depth_oracle, train)
+                batch['imgs'].astype(cdtype), batch['sensor2ego'],
+                batch['intrin'], batch['flipped'], depth_oracle, train)
             img_bev = bda_bev_warp(img_bev, batch['bda_mat'])
 
         if cfg.use_lidar:
             lidar_bev = self.lidar_encoder(batch['points'], batch['point_mask'],
-                                           train)
+                                           train, compute_dtype=cdtype)
 
         if cfg.use_cam and cfg.use_lidar:
             lb = lidar_bev

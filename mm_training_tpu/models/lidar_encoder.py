@@ -40,8 +40,14 @@ class LidarBEVEncoder(nn.Module):
     exact_point_cap: bool = False  # reproduce first-15-points VFE subsampling
 
     @nn.compact
-    def __call__(self, points, point_mask, train: bool = False):
-        """points [B, P, F], point_mask [B, P] -> BEV [B, ny/8, nx/8, 256]."""
+    def __call__(self, points, point_mask, train: bool = False,
+                 compute_dtype=jnp.float32):
+        """points [B, P, F], point_mask [B, P] -> BEV [B, ny/8, nx/8, 256].
+
+        Voxelization math runs in the points' dtype (fp32 — bf16 cannot
+        resolve 0.2 m voxels at 200 m range); the conv pyramid runs in
+        ``compute_dtype``.
+        """
         vconf = self.conf.voxelization
         cap = vconf.max_num_points if self.exact_point_cap else None
 
@@ -51,6 +57,7 @@ class LidarBEVEncoder(nn.Module):
                 num_features=vconf.num_features, max_points_per_voxel=cap)
 
         x = jax.vmap(vox)(points, point_mask)        # [B, ny, nx, 5]
+        x = x.astype(compute_dtype)
 
         for si, stage in enumerate(self.conf.encoder_channels):
             for ci, ch in enumerate(stage):

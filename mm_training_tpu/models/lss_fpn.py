@@ -95,7 +95,8 @@ class LSSFPN(nn.Module):
             # reference's one-hot labels, so the oracle fully replaces the
             # predicted depth (lss_fpn.py:427-439)
             fg = (jnp.max(depth_oracle, axis=-1, keepdims=True) > 0.0)
-            lift_depth = jnp.where(fg, depth_oracle, depth_unflipped)
+            lift_depth = jnp.where(fg, depth_oracle.astype(depth_unflipped.dtype),
+                                   depth_unflipped)
         else:
             lift_depth = depth_unflipped
 

@@ -125,6 +125,15 @@ def _prepare_camera_inputs(cfg: Config, batch, rng, training: bool):
     return model_batch, loss_labels, oracle
 
 
+def cast_floating(tree, dtype):
+    """Cast floating leaves of a pytree (mixed-precision helper)."""
+    def cast(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def depth_loss_fn(depth_labels: jnp.ndarray, depth_preds: jnp.ndarray) -> jnp.ndarray:
     """3.0 x foreground-masked BCE (mm_training_aim.py:165-178; the fg mask is
     all-true for one-hot-with-bin-0 labels — quirk preserved)."""
@@ -145,8 +154,9 @@ def _strip_host_fields(batch):
 
 def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
     head_conf = cfg.get_head_conf()
+    bf16 = cfg.precision == 'bf16'
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         batch = _strip_host_fields(batch)
         rng_flip, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -165,14 +175,23 @@ def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
             head_conf, batch['gt_boxes'], batch['gt_labels'], batch['gt_mask']))
 
         def loss_fn(params):
+            # mixed precision: bf16 params/activations on the MXU, fp32
+            # master weights + fp32 losses. The cast is inside loss_fn so
+            # autodiff routes gradients back to the fp32 masters.
+            apply_params = cast_floating(params, jnp.bfloat16) if bf16 else params
+            apply_stats = (cast_floating(state.batch_stats, jnp.bfloat16)
+                           if bf16 else state.batch_stats)
             (preds, depth_pred, _, _), mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
+                {'params': apply_params, 'batch_stats': apply_stats},
                 model_batch, oracle, True,
                 mutable=['batch_stats'], rngs={'dropout': rng_drop})
+            preds = cast_floating(preds, jnp.float32)
             det = detection_loss(head_conf, targets, preds)
-            dep = (depth_loss_fn(d_labels, depth_pred)
+            dep = (depth_loss_fn(d_labels, depth_pred.astype(jnp.float32))
                    if cfg.use_cam else jnp.zeros(()))
-            return det + dep, (det, dep, mutated['batch_stats'])
+            new_bs = (cast_floating(mutated['batch_stats'], jnp.float32)
+                      if bf16 else mutated['batch_stats'])
+            return det + dep, (det, dep, new_bs)
 
         (loss, (det, dep, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -200,6 +219,7 @@ def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
 def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
     """Forward + loss + decode, no updates (eval_step, mm_training_aim.py:291)."""
     head_conf = cfg.get_head_conf()
+    bf16 = cfg.precision == 'bf16'
 
     @jax.jit
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -214,14 +234,18 @@ def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
                  * batch['imgs'].shape[2],), bool)
             d_labels, oracle = None, None
 
+        params = cast_floating(state.params, jnp.bfloat16) if bf16 else state.params
+        stats = (cast_floating(state.batch_stats, jnp.bfloat16)
+                 if bf16 else state.batch_stats)
         preds, depth_pred, _, _ = model.apply(
-            {'params': state.params, 'batch_stats': state.batch_stats},
-            model_batch, oracle, False)
+            {'params': params, 'batch_stats': stats}, model_batch, oracle,
+            False)
+        preds = cast_floating(preds, jnp.float32)
 
         targets = get_targets_batch(head_conf, batch['gt_boxes'],
                                     batch['gt_labels'], batch['gt_mask'])
         det = detection_loss(head_conf, targets, preds)
-        dep = (depth_loss_fn(d_labels, depth_pred)
+        dep = (depth_loss_fn(d_labels, depth_pred.astype(jnp.float32))
                if cfg.use_cam else jnp.zeros(()))
 
         boxes, scores, labels, valid = decode_boxes(head_conf, preds)
@@ -235,6 +259,7 @@ def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
 def make_predict_step(cfg: Config, model: BEVDepthLiDAR):
     """Forward + decode only (predict_step, mm_training_aim.py:344-369)."""
     head_conf = cfg.get_head_conf()
+    bf16 = cfg.precision == 'bf16'
 
     @jax.jit
     def predict_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -248,9 +273,12 @@ def make_predict_step(cfg: Config, model: BEVDepthLiDAR):
                 (batch['imgs'].shape[0] * batch['imgs'].shape[1]
                  * batch['imgs'].shape[2],), bool)
             oracle = None
+        params = cast_floating(state.params, jnp.bfloat16) if bf16 else state.params
+        stats = (cast_floating(state.batch_stats, jnp.bfloat16)
+                 if bf16 else state.batch_stats)
         preds, _, _, _ = model.apply(
-            {'params': state.params, 'batch_stats': state.batch_stats},
-            model_batch, oracle, False)
-        return decode_boxes(head_conf, preds)
+            {'params': params, 'batch_stats': stats}, model_batch, oracle,
+            False)
+        return decode_boxes(head_conf, cast_floating(preds, jnp.float32))
 
     return predict_step

@@ -1,14 +1,18 @@
 """Test config: force an 8-device virtual CPU mesh so every test runs without
-TPU hardware and the multi-chip sharding paths are exercised."""
+TPU hardware and the multi-chip sharding paths are exercised.
+
+NOTE: this environment's TPU bootstrap (sitecustomize) registers a remote
+backend and sets jax.config's platform itself, clobbering JAX_PLATFORMS /
+XLA_FLAGS env vars — so the override must go through jax.config, not env.
+"""
 import os
 
-os.environ['JAX_PLATFORMS'] = 'cpu'  # force override — the shell may carry a TPU platform
-flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'  # for any subprocess we spawn
 
-import jax  # noqa: E402  (import after env is set)
+import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
 jax.config.update('jax_enable_x64', False)
 # numerics-parity tests verify algebra, not rounding: keep matmuls exact
 jax.config.update('jax_default_matmul_precision', 'highest')

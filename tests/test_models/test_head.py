@@ -11,17 +11,23 @@ from mm_training_tpu.models.centerpoint_head import get_targets, get_targets_bat
 
 
 def _ref_gaussian_radius(det_size, min_overlap):
+    """mmdet3d.core.utils.gaussian_radius — the ORIGINAL CornerNet form with
+    (b + sqrt)/2 in all three cases (mmdet3d keeps CenterPoint's copy; the
+    corrected /(2a) variant lives in mmdet, which the reference head does not
+    use)."""
     height, width = det_size
+    a1 = 1
     b1 = height + width
     c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
-    r1 = (b1 + np.sqrt(b1 ** 2 - 4 * c1)) / 2
+    r1 = (b1 + np.sqrt(b1 ** 2 - 4 * a1 * c1)) / 2
+    a2 = 4
     b2 = 2 * (height + width)
     c2 = (1 - min_overlap) * width * height
-    r2 = (b2 + np.sqrt(b2 ** 2 - 16 * c2)) / 8
+    r2 = (b2 + np.sqrt(b2 ** 2 - 4 * a2 * c2)) / 2
     a3 = 4 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
-    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / (2 * a3)
+    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / 2
     return min(r1, r2, r3)
 
 

@@ -41,6 +41,9 @@ def test_train_step_runs_and_learns(modalities):
     model, tx, state, batch = _setup(cfg)
     train_step = make_train_step(cfg, model, tx)
 
+    # the train step donates its input state — snapshot params first
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+
     rng = jax.random.PRNGKey(1)
     state1, metrics = train_step(state, batch, rng)
     assert np.isfinite(float(metrics['train_loss']))
@@ -53,7 +56,7 @@ def test_train_step_runs_and_learns(modalities):
     # params actually moved
     moved = jax.tree_util.tree_reduce(
         lambda acc, leaf: acc + float(jnp.abs(leaf).sum()),
-        jax.tree_util.tree_map(lambda a, b: a - b, state1.params, state.params),
+        jax.tree_util.tree_map(lambda a, b: a - b, state1.params, params0),
         0.0)
     assert moved > 0
 
