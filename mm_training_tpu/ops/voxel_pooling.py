@@ -12,23 +12,26 @@ TPU re-design — two levels:
    JAX's native VJP (the backward is the same index gather the reference does
    by hand). Used for parity tests and generic pooling.
 
-2. ``lift_splat``: the hot-path factorization (MatrixVT-style). Instead of
-   materializing the D x C outer product per pixel and scattering B*N*D*fH*fW
-   C-vectors, note
+2. ``lift_splat``: the hot-path splat. Two formulations were measured on
+   v5e (8 cameras, D=409, P=3520, C=80, G=8192, fwd+bwd):
 
-       bev[g, c] = sum_{(d,p): cell(d,p)=g} depth[d, p] * ctx[p, c]
-                 = sum_p A[g, p] * ctx[p, c],   A[g, p] = sum_{d -> g} depth[d, p]
+   * MatrixVT-style ray matrix — scatter scalar depths into A[G, P], then
+     bev = A @ ctx on the MXU. 96 ms. TPU scatter cost is per-ROW (updates
+     serialize), so 1.44M width-1 updates waste 99% of the VPU.
+   * direct wide scatter — materialize depth[d,p] * ctx[p,:] and scatter
+     C-wide rows (the reference CUDA kernel's formulation, minus atomics).
+     Same 1.44M rows but each moves 80 lanes; the backward is a wide
+     gather. 35 ms.
 
-   so we scatter only the *scalar* depths into a ray-marching matrix A
-   (C=80x less scatter traffic) and do the rest as one MXU matmul. Exactly
-   equal to the reference computation (addition reordering only).
+   The wide scatter wins ~3x and is what ``lift_splat`` implements; the ray
+   matrix variant is kept as ``lift_splat_matrix`` for reference/benchmarks.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ['voxel_pooling', 'lift_splat']
+__all__ = ['voxel_pooling', 'lift_splat', 'lift_splat_matrix']
 
 
 def voxel_pooling(geom_xyz: jnp.ndarray, features: jnp.ndarray, voxel_num) -> jnp.ndarray:
@@ -75,18 +78,37 @@ def _lift_splat_one(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
 
 def lift_splat(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
                n_cells: int) -> jnp.ndarray:
-    """Factorized lift-splat over a batch of cameras, scanned to bound memory
-    (the ray matrix A is [n_cells, P] per camera).
+    """Lift-splat over a batch of cameras, scanned to bound memory (the
+    [D*P, C] outer-product slab lives for one camera at a time).
 
     Args:
       depth:    [M, D, P]  per-camera depth distributions.
       ctx:      [M, P, C]  per-camera context features.
-      flat_idx: [M, D, P]  int32 BEV cell ids in [0, n_cells].
+      flat_idx: [M, D, P]  int32 BEV cell ids in [0, n_cells]
+                (n_cells = trash bin for out-of-grid rays).
       n_cells:  static number of BEV cells (ny * nx).
 
     Returns:
       [M, n_cells, C] splatted BEV features (caller reshapes / sums cameras).
     """
+    d, p = depth.shape[1], depth.shape[2]
+    c = ctx.shape[-1]
+
+    def step(_, args):
+        dep, cx, fi = args
+        vals = (dep[:, :, None] * cx[None, :, :]).reshape(d * p, c)
+        out = jax.ops.segment_sum(vals, fi.reshape(d * p),
+                                  num_segments=n_cells + 1)[:n_cells]
+        return None, out
+
+    _, out = jax.lax.scan(step, None, (depth, ctx, flat_idx))
+    return out
+
+
+def lift_splat_matrix(depth: jnp.ndarray, ctx: jnp.ndarray,
+                      flat_idx: jnp.ndarray, n_cells: int) -> jnp.ndarray:
+    """MatrixVT-style ray-matrix formulation (see module docstring) — kept
+    for comparison benchmarks; numerically identical to ``lift_splat``."""
     def step(_, args):
         dep, cx, fi = args
         return None, _lift_splat_one(dep, cx, fi, n_cells)

@@ -152,11 +152,11 @@ def _strip_host_fields(batch):
 
 # ------------------------------------------------------------------ builders
 
-def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
+def _build_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
+    """Un-jitted single train step (state, batch, rng) -> (state, metrics)."""
     head_conf = cfg.get_head_conf()
     bf16 = cfg.precision == 'bf16'
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         batch = _strip_host_fields(batch)
         rng_flip, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -214,6 +214,34 @@ def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
+    return jax.jit(_build_train_step(cfg, model, tx), donate_argnums=(0,))
+
+
+def make_train_step_multi(cfg: Config, model: BEVDepthLiDAR, tx, k: int):
+    """K train steps per dispatch via lax.scan over stacked micro-batches.
+
+    The remote-attached backend costs ~0.2 s of host round-trip per dispatch;
+    at ~0.5 s device step time that is a 30-40% throughput tax. Scanning K
+    steps inside one program amortizes it to ~0.2/K s.
+
+    Takes batches stacked on a leading K axis ([K, B, ...]); returns metrics
+    averaged over the K steps (plus final grad_norm).
+    """
+    step = _build_train_step(cfg, model, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step_multi(state: TrainState, batches, rng):
+        def body(s, b):
+            return step(s, b, rng)
+
+        new_state, metrics = jax.lax.scan(body, state,
+                                          _strip_host_fields(batches))
+        return new_state, {k_: jnp.mean(v) for k_, v in metrics.items()}
+
+    return train_step_multi
 
 
 def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
