@@ -276,6 +276,7 @@ class Config:
     num_sanity_val_steps: int = 2
     use_ema: bool = False     # reference defines EMA but leaves it unregistered
     ema_decay: float = 0.9999
+    use_tta: bool = False     # 4-way flip ensemble at eval/predict (training/tta.py)
 
     # --- fixed-shape capacities (TPU static shapes; reference was dynamic)
     max_points_per_frame: int = 0   # 0 => (1+look_back+look_forward)*100_000

@@ -85,7 +85,8 @@ class AiMotiveDataset:
                                         odd if split != 'train' else 'all')
         self.frame_loader = FrameLoader(
             split, cfg.point_cloud_range, cfg.use_cam, cfg.use_lidar,
-            cfg.use_radar, cfg.look_back, cfg.look_forward)
+            cfg.use_radar, cfg.look_back, cfg.look_forward,
+            image_size=cfg.final_dim)
         self.epoch = 0
 
     def __len__(self):

@@ -36,7 +36,7 @@ from .sensor_models import CameraMei, CameraPinhole, CameraPinholeDistorted
 
 __all__ = ['FrameLoader', 'FrameData']
 
-VIRTUAL_IMAGE_SIZE = (704, 1280)
+DEFAULT_VIRTUAL_IMAGE_SIZE = (704, 1280)  # reference network input (conf_aim.py:4-5)
 
 
 @dataclass
@@ -54,7 +54,8 @@ class FrameLoader:
 
     def __init__(self, split: str, pc_range, use_cam=True, use_lidar=True,
                  use_radar=True, look_back=0, look_forward=0,
-                 virtualize_fisheyes=False):
+                 virtualize_fisheyes=False,
+                 image_size: Tuple[int, int] = DEFAULT_VIRTUAL_IMAGE_SIZE):
         self.split = split
         self.pc_range = pc_range
         self.use_cam = use_cam
@@ -63,6 +64,7 @@ class FrameLoader:
         self.look_back = look_back
         self.look_forward = look_forward
         self.virtualize_fisheyes = virtualize_fisheyes
+        self.image_size = image_size  # virtual pinhole target (H, W)
         self.max_points = (look_back + look_forward + 1) * 100_000
 
     # ------------------------------------------------------------- assembly
@@ -168,7 +170,8 @@ class FrameLoader:
             is_pinhole = 'front' in cam.name or 'back' in cam.name
             if is_pinhole:
                 img, intr, extr = self._create_virtual_image(
-                    cam.image, cam.camera_params, ref_intrinsic)
+                    cam.image, cam.camera_params, ref_intrinsic,
+                    image_size=self.image_size)
                 params = CameraParams(intr, extr, cam.camera_params.dist_coeffs,
                                       'pinhole')
                 out.append(CameraFrame(cam.name, img, params))
@@ -177,7 +180,7 @@ class FrameLoader:
                 for dy in (-30.0, 30.0):
                     img, intr, extr = self._create_virtual_image(
                         cam.image, cam.camera_params, ref_intrinsic,
-                        new_yaw=yaw + dy)
+                        new_yaw=yaw + dy, image_size=self.image_size)
                     params = CameraParams(intr, extr,
                                           cam.camera_params.dist_coeffs,
                                           'pinhole')
@@ -194,7 +197,8 @@ class FrameLoader:
     @staticmethod
     def _create_virtual_image(img: np.ndarray, params: CameraParams,
                               new_intrinsic: np.ndarray,
-                              new_yaw: Optional[float] = None):
+                              new_yaw: Optional[float] = None,
+                              image_size: Tuple[int, int] = DEFAULT_VIRTUAL_IMAGE_SIZE):
         """Re-render to a zero-roll/pitch pinhole (data_loader.py:207-240)."""
         ext = np.linalg.inv(params.extrinsic)
         rot = Rotation.from_matrix(ext[:3, :3])
@@ -216,7 +220,7 @@ class FrameLoader:
             euler[2] = new_yaw
         vrot = Rotation.from_euler('XYZ', euler, degrees=True) * rz
 
-        target = CameraPinhole(new_intrinsic[:, :3], VIRTUAL_IMAGE_SIZE,
+        target = CameraPinhole(new_intrinsic[:, :3], image_size,
                                vrot.as_matrix(), translation)
         out_img = target.remap_from(source, img)
 

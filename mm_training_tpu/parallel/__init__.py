@@ -1,5 +1,8 @@
 from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh,
                    replicated, shard_batch)
+from .multihost import (all_gather_object, barrier, initialize,
+                        is_main_process, process_count, process_index)
 
 __all__ = ['DATA_AXIS', 'MODEL_AXIS', 'batch_sharding', 'make_mesh',
-           'replicated', 'shard_batch']
+           'replicated', 'shard_batch', 'all_gather_object', 'barrier',
+           'initialize', 'is_main_process', 'process_count', 'process_index']

@@ -265,9 +265,15 @@ def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
         params = cast_floating(state.params, jnp.bfloat16) if bf16 else state.params
         stats = (cast_floating(state.batch_stats, jnp.bfloat16)
                  if bf16 else state.batch_stats)
-        preds, depth_pred, _, _ = model.apply(
-            {'params': params, 'batch_stats': stats}, model_batch, oracle,
-            False)
+        variables = {'params': params, 'batch_stats': stats}
+        if cfg.use_tta:
+            from .tta import tta_forward
+            preds = tta_forward(cfg, model, variables, model_batch, oracle)
+            _, depth_pred, _, _ = model.apply(variables, model_batch, oracle,
+                                              False)
+        else:
+            preds, depth_pred, _, _ = model.apply(variables, model_batch,
+                                                  oracle, False)
         preds = cast_floating(preds, jnp.float32)
 
         targets = get_targets_batch(head_conf, batch['gt_boxes'],
@@ -304,9 +310,12 @@ def make_predict_step(cfg: Config, model: BEVDepthLiDAR):
         params = cast_floating(state.params, jnp.bfloat16) if bf16 else state.params
         stats = (cast_floating(state.batch_stats, jnp.bfloat16)
                  if bf16 else state.batch_stats)
-        preds, _, _, _ = model.apply(
-            {'params': params, 'batch_stats': stats}, model_batch, oracle,
-            False)
+        variables = {'params': params, 'batch_stats': stats}
+        if cfg.use_tta:
+            from .tta import tta_forward
+            preds = tta_forward(cfg, model, variables, model_batch, oracle)
+        else:
+            preds, _, _, _ = model.apply(variables, model_batch, oracle, False)
         return decode_boxes(head_conf, cast_floating(preds, jnp.float32))
 
     return predict_step

@@ -30,8 +30,10 @@ from ..core.transforms import yaw_to_quat
 from ..data.aimotive_dataset import AiMotiveDataset
 from ..evaluation import MAPCalculator
 from ..models import BEVDepthLiDAR
-from ..parallel import make_mesh, shard_batch
+from ..parallel import (all_gather_object, is_main_process, make_mesh,
+                        process_count, shard_batch)
 from ..utils.logging import MetricsLogger
+from ..utils.profiling import StepTimer, profile_trace
 from .loader import PrefetchLoader
 from .optim import make_optimizer
 from .train_step import (TrainState, create_train_state, make_eval_step,
@@ -134,6 +136,21 @@ class Trainer:
         model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
         self.state = create_train_state(self.cfg, self.model, self.tx, rng,
                                         model_batch)
+        pretrained = (self.cfg.use_cam and
+                      self.cfg.get_backbone_conf().img_backbone_conf.pretrained)
+        if pretrained:
+            # torchvision-format ImageNet init (conf_aim.py:60 parity)
+            from ..models.torch_import import (convert_torchvision_resnet,
+                                               load_torch_state_dict,
+                                               merge_pretrained_backbone)
+            sd = load_torch_state_dict(pretrained)
+            conv = convert_torchvision_resnet(
+                sd, self.cfg.get_backbone_conf().img_backbone_conf.depth)
+            tree = merge_pretrained_backbone(
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats}, conv)
+            self.state = self.state.replace(params=tree['params'],
+                                            batch_stats=tree['batch_stats'])
         if self.cfg.ckpt_path:
             self.restore(self.cfg.ckpt_path)
         return self.state
@@ -203,25 +220,24 @@ class Trainer:
             self._run_eval('val', max_batches=cfg.num_sanity_val_steps,
                            log=False)
 
+        timer = StepTimer()
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
-            t_epoch = time.time()
-            n_samples = 0
             for batch in train_loader:
                 device_batch = shard_batch(self.mesh, _strip(batch))
+                timer.start()
                 self.state, metrics = self._train_step(self.state, device_batch,
                                                        rng)
-                self.global_step = int(self.state.step)
-                n_samples += batch['points'].shape[0]
+                self.global_step = int(self.state.step)  # fetch = step barrier
+                timer.stop(n_samples=batch['points'].shape[0])
                 self.logger.log_step(self.global_step, metrics)
                 if (cfg.latest_every_n_steps
                         and self.global_step % cfg.latest_every_n_steps == 0):
                     self.save_checkpoint('latest')
                 if max_steps and self.global_step >= max_steps:
                     break
-            dt = time.time() - t_epoch
-            self.logger.log_scalar(self.global_step, 'samples_per_sec',
-                                   n_samples / max(dt, 1e-9))
+            for k, v in timer.summary().items():
+                self.logger.log_scalar(self.global_step, k, v)
 
             val_metrics = self._run_eval('val')
             vloss = val_metrics.get('val_detection_loss', float('inf'))
@@ -259,7 +275,17 @@ class Trainer:
                 agg[k] = agg.get(k, 0.0) + float(v)
             count += 1
         out = {f'{prefix}_{k}': v / max(count, 1) for k, v in agg.items()}
-        if count and len(self.map_calculator):
+        # pool per-host accumulations before computing the metric
+        # (replaces torch_dist.all_gather_object, mm_training_aim.py-era DDP)
+        if process_count() > 1:
+            pooled = all_gather_object((self.map_calculator.gts,
+                                        self.map_calculator.preds,
+                                        self.map_calculator.img_names))
+            if is_main_process():
+                self.map_calculator.reset()
+                for gts, preds, names in pooled:
+                    self.map_calculator.update(gts, preds, names)
+        if count and len(self.map_calculator) and is_main_process():
             bev = self.map_calculator.compute_bev(
                 iou_thr=0.3, x_range=cfg.point_cloud_range[3])
             out.update({f'{prefix}_{k}': float(v) for k, v in bev.items()})
@@ -267,6 +293,23 @@ class Trainer:
         if log:
             self.logger.log_eval(self.global_step, out)
         return out
+
+    def profile(self, n_steps: int = 5):
+        """Capture a device trace of n train steps under out_path/profile
+        (view in Perfetto / TensorBoard). Tracing subsystem — SURVEY §5."""
+        loader = self.loader('train')
+        if self.state is None:
+            self.init_state(next(iter(loader)))
+        rng = jax.random.PRNGKey(self.cfg.seed + 2)
+        it = iter(loader)
+        with profile_trace(str(self.out_path / 'profile')):
+            for _ in range(n_steps):
+                batch = next(it)
+                device_batch = shard_batch(self.mesh, _strip(batch))
+                self.state, metrics = self._train_step(self.state,
+                                                       device_batch, rng)
+                jax.block_until_ready(metrics)
+        return str(self.out_path / 'profile')
 
     def validate(self, max_batches=None):
         return self._run_eval('val', max_batches=max_batches)

@@ -41,15 +41,9 @@ def test_camera_pipeline(dataset_root):
     cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=False,
                            H=64, W=128,
                            point_cloud_range=(-204.8, -25.6, -5.0, 204.8, 25.6, 3.0))
-    # virtual images are rendered at the production 704x1280; use that size
-    import mm_training_tpu.data.frame_loader as fl
-    old = fl.VIRTUAL_IMAGE_SIZE
-    fl.VIRTUAL_IMAGE_SIZE = (64, 128)
-    try:
-        ds = AiMotiveDataset(dataset_root, cfg, split='train')
-        s = ds[0]
-    finally:
-        fl.VIRTUAL_IMAGE_SIZE = old
+    # virtualization target follows cfg.final_dim (H=64, W=128 here)
+    ds = AiMotiveDataset(dataset_root, cfg, split='train')
+    s = ds[0]
     assert s['imgs'].shape == (1, 2, 64, 128, 4)
     assert s['sensor2ego'].shape == (1, 2, 4, 4)
     assert s['intrin'].shape == (1, 2, 4, 4)

