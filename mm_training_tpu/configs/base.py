@@ -278,6 +278,10 @@ class Config:
     ema_decay: float = 0.9999
     use_tta: bool = False     # 4-way flip ensemble at eval/predict (training/tta.py)
 
+    # --- parallelism: devices = model_parallel x data_parallel mesh; the
+    # model axis spatially shards the BEV x dimension (2048 cells)
+    model_parallel: int = 1
+
     # --- fixed-shape capacities (TPU static shapes; reference was dynamic)
     max_points_per_frame: int = 0   # 0 => (1+look_back+look_forward)*100_000
     max_objs: int = 500

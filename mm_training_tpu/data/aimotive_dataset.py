@@ -86,7 +86,8 @@ class AiMotiveDataset:
         self.frame_loader = FrameLoader(
             split, cfg.point_cloud_range, cfg.use_cam, cfg.use_lidar,
             cfg.use_radar, cfg.look_back, cfg.look_forward,
-            image_size=cfg.final_dim)
+            image_size=cfg.final_dim,
+            defer_processing=True)  # fused into the native packer below
         self.epoch = 0
 
     def __len__(self):
@@ -121,17 +122,12 @@ class AiMotiveDataset:
         bda_mat = np.eye(4, dtype=np.float32)
         bda_mat[:3, :3] = bda_rot
 
-        points = frame.points.astype(np.float32, copy=True)
-        points[:, :3] = points[:, :3] @ bda_rot.T
-
-        # ---- fixed-shape padding
+        # ---- fused ts-normalize / intensity / subsample / BDA / pad (C++)
+        from .native import pack_points_native
         p_cap = cfg.max_points
-        n_feat = 8 if cfg.use_radar else 5
-        pts = np.zeros((p_cap, n_feat), np.float32)
-        mask = np.zeros((p_cap,), bool)
-        n = min(points.shape[0], p_cap)
-        pts[:n] = points[:n, :n_feat]
-        mask[:n] = True
+        pts, mask, cam_ts = pack_points_native(
+            frame.points, bda_rot, frame.camera_timestamp, p_cap,
+            seed=(cfg.seed * 1_000_003 + self.epoch * 97 + index) & 0xFFFFFFFF)
 
         k_cap = cfg.max_objs
         gt_boxes = np.zeros((k_cap, 9), np.float32)
@@ -157,8 +153,8 @@ class AiMotiveDataset:
                     img = augment_image_np(img, rng)
                 img4 = np.concatenate(
                     [img.astype(np.float32),
-                     np.full(img.shape[:2] + (1,), frame.camera_timestamp,
-                             np.float32)], axis=-1)
+                     np.full(img.shape[:2] + (1,), cam_ts, np.float32)],
+                    axis=-1)
                 imgs.append(img4)
                 ext = cam.camera_params.extrinsic.astype(np.float32)
                 extr.append(ext)

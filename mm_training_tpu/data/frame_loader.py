@@ -55,7 +55,8 @@ class FrameLoader:
     def __init__(self, split: str, pc_range, use_cam=True, use_lidar=True,
                  use_radar=True, look_back=0, look_forward=0,
                  virtualize_fisheyes=False,
-                 image_size: Tuple[int, int] = DEFAULT_VIRTUAL_IMAGE_SIZE):
+                 image_size: Tuple[int, int] = DEFAULT_VIRTUAL_IMAGE_SIZE,
+                 defer_processing: bool = False):
         self.split = split
         self.pc_range = pc_range
         self.use_cam = use_cam
@@ -65,6 +66,9 @@ class FrameLoader:
         self.look_forward = look_forward
         self.virtualize_fisheyes = virtualize_fisheyes
         self.image_size = image_size  # virtual pinhole target (H, W)
+        # defer_processing: skip ts-normalization / intensity / cap here so
+        # the dataset can run them fused with BDA+pad in the native packer
+        self.defer_processing = defer_processing
         self.max_points = (look_back + look_forward + 1) * 100_000
 
     # ------------------------------------------------------------- assembly
@@ -77,27 +81,32 @@ class FrameLoader:
         camera_data = load_camera_data(data_folder, frame_id, self.use_cam)
 
         if self.use_radar:
+            from .native import concat_filter_native
             radar = load_radar_data(data_folder, frame_id)
-            points = self._concat_lidar_radar(lidar, radar, camera_data.timestamp)
+            radar_pts = np.concatenate([radar['B_LRR_C'], radar['F_LRR_C']],
+                                       axis=0)
+            points = concat_filter_native(lidar, radar_pts, self.pc_range,
+                                          camera_data.timestamp)
         else:
-            points = lidar
-
-        points = self._filter_range(points)
+            points = self._filter_range(lidar)
 
         cameras = camera_data.items
         if self.use_cam:
             ref_intrinsic = camera_data.front_camera.camera_params.intrinsic
             cameras = self._virtualize_cameras(cameras, ref_intrinsic)
 
-        # normalize timestamps to [0, 1] over the aggregated cloud
-        # (data_loader.py:100-103)
-        ts = points[:, -1]
-        ts_min, ts_max = float(ts.min()), float(ts.max())
-        denom = (ts_max - ts_min) or 1.0
-        points[:, -1] = (ts - ts_min) / denom
-        cam_ts = (camera_data.timestamp - ts_min) / denom
-
-        points = self._process_points(points)
+        if self.defer_processing:
+            cam_ts = float(camera_data.timestamp)  # raw; packer normalizes
+        else:
+            # normalize timestamps to [0, 1] over the aggregated cloud
+            # (data_loader.py:100-103)
+            ts = points[:, -1] if len(points) else np.zeros(1, np.float32)
+            ts_min, ts_max = float(ts.min()), float(ts.max())
+            denom = (ts_max - ts_min) or 1.0
+            if len(points):
+                points[:, -1] = (points[:, -1] - ts_min) / denom
+            cam_ts = (camera_data.timestamp - ts_min) / denom
+            points = self._process_points(points)
 
         objects = [object_to_array(o) for o in ann.objects]
         if self.use_cam and not self.use_lidar:

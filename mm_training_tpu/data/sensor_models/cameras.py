@@ -189,10 +189,13 @@ class CameraPinholeDistorted(CameraPinhole):
         return np.stack([xd, yd], -1)
 
     def _undistort(self, xy_d: np.ndarray) -> np.ndarray:
-        # fixed-point iteration, parity with CameraPinholeDistorted.image2ray
+        # OpenCV-style fixed-point iteration (20 rounds, parity with the
+        # reference's CameraPinholeDistorted.image2ray): the residual is
+        # always taken against the ORIGINAL distorted coordinates
         k1, k2, p1, p2, k3 = self.dist_coeffs
-        x = xy_d[..., 0].copy()
-        y = xy_d[..., 1].copy()
+        xd = xy_d[..., 0]
+        yd = xy_d[..., 1]
+        x, y = xd.copy(), yd.copy()
         for _ in range(self.undistort_iterations):
             xx, yy = x * x, y * y
             r2 = xx + yy
@@ -200,8 +203,8 @@ class CameraPinholeDistorted(CameraPinhole):
             radial = 1.0 + (k1 + (k2 + k3 * r2) * r2) * r2
             tx = p1 * two_xy + p2 * (r2 + 2.0 * xx)
             ty = p1 * (r2 + 2.0 * yy) + p2 * two_xy
-            x = (x - tx) / radial
-            y = (y - ty) / radial
+            x = (xd - tx) / radial
+            y = (yd - ty) / radial
         return np.stack([x, y], -1)
 
     def image2ray(self, px: np.ndarray) -> np.ndarray:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..configs import Config
@@ -33,6 +34,10 @@ __all__ = ['BEVDepthLiDAR']
 class BEVDepthLiDAR(nn.Module):
     cfg: Config
     bn_axis_name: Optional[str] = None
+    # mesh axis name for spatial (BEV-x) sharding — the conv-net analog of
+    # tensor/sequence parallelism: the 2048-cell x axis is split across the
+    # axis and XLA SPMD inserts the conv halo exchanges. None = replicated.
+    spatial_axis: Optional[str] = None
 
     def setup(self):
         cfg = self.cfg
@@ -86,6 +91,11 @@ class BEVDepthLiDAR(nn.Module):
             fused = img_bev
         else:
             fused = lidar_bev
+
+        if self.spatial_axis is not None:
+            from jax.sharding import PartitionSpec as P
+            fused = jax.lax.with_sharding_constraint(
+                fused, P(None, None, self.spatial_axis, None))
 
         preds = self.head(fused, train)
         return preds, depth_pred, lidar_bev, img_bev

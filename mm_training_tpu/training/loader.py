@@ -67,11 +67,16 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def producer():
-            for bi in batches:
-                if stop.is_set():
-                    return
-                q.put(load_batch(bi))
-            q.put(None)
+            # exceptions must reach the consumer — a dead producer would
+            # otherwise leave the training loop blocked on q.get() forever
+            try:
+                for bi in batches:
+                    if stop.is_set():
+                        return
+                    q.put(load_batch(bi))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -82,6 +87,8 @@ class PrefetchLoader:
                     item = q.get()
                     if item is None:
                         break
+                    if isinstance(item, BaseException):
+                        raise item
                     yield item
             finally:
                 stop.set()

@@ -244,6 +244,14 @@ def make_train_step_multi(cfg: Config, model: BEVDepthLiDAR, tx, k: int):
     return train_step_multi
 
 
+def _eval_weights(cfg: Config, state: TrainState):
+    """Weights used at eval: EMA shadow when enabled and populated
+    (the reference's dormant EMACallback saves them for exactly this)."""
+    if cfg.use_ema and state.ema_params is not None:
+        return state.ema_params, state.ema_batch_stats
+    return state.params, state.batch_stats
+
+
 def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
     """Forward + loss + decode, no updates (eval_step, mm_training_aim.py:291)."""
     head_conf = cfg.get_head_conf()
@@ -262,9 +270,9 @@ def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
                  * batch['imgs'].shape[2],), bool)
             d_labels, oracle = None, None
 
-        params = cast_floating(state.params, jnp.bfloat16) if bf16 else state.params
-        stats = (cast_floating(state.batch_stats, jnp.bfloat16)
-                 if bf16 else state.batch_stats)
+        w_params, w_stats = _eval_weights(cfg, state)
+        params = cast_floating(w_params, jnp.bfloat16) if bf16 else w_params
+        stats = cast_floating(w_stats, jnp.bfloat16) if bf16 else w_stats
         variables = {'params': params, 'batch_stats': stats}
         if cfg.use_tta:
             from .tta import tta_forward
@@ -307,9 +315,9 @@ def make_predict_step(cfg: Config, model: BEVDepthLiDAR):
                 (batch['imgs'].shape[0] * batch['imgs'].shape[1]
                  * batch['imgs'].shape[2],), bool)
             oracle = None
-        params = cast_floating(state.params, jnp.bfloat16) if bf16 else state.params
-        stats = (cast_floating(state.batch_stats, jnp.bfloat16)
-                 if bf16 else state.batch_stats)
+        w_params, w_stats = _eval_weights(cfg, state)
+        params = cast_floating(w_params, jnp.bfloat16) if bf16 else w_params
+        stats = cast_floating(w_stats, jnp.bfloat16) if bf16 else w_stats
         variables = {'params': params, 'batch_stats': stats}
         if cfg.use_tta:
             from .tta import tta_forward

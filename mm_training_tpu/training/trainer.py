@@ -80,8 +80,11 @@ class Trainer:
                  mesh=None, datasets: Optional[Dict[str, object]] = None):
         self.cfg = cfg
         self.data_root = data_root or cfg.data_root
-        self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = BEVDepthLiDAR(cfg)
+        self.mesh = (mesh if mesh is not None
+                     else make_mesh(model_parallel=cfg.model_parallel))
+        from ..parallel import MODEL_AXIS
+        self.model = BEVDepthLiDAR(
+            cfg, spatial_axis=MODEL_AXIS if cfg.model_parallel > 1 else None)
         self.map_calculator = MAPCalculator()
         self.state: Optional[TrainState] = None
         self._datasets = datasets or {}
@@ -226,8 +229,10 @@ class Trainer:
             for batch in train_loader:
                 device_batch = shard_batch(self.mesh, _strip(batch))
                 timer.start()
-                self.state, metrics = self._train_step(self.state, device_batch,
-                                                       rng)
+                # mesh context resolves sharding-constraint axis names
+                with self.mesh:
+                    self.state, metrics = self._train_step(
+                        self.state, device_batch, rng)
                 self.global_step = int(self.state.step)  # fetch = step barrier
                 timer.stop(n_samples=batch['points'].shape[0])
                 self.logger.log_step(self.global_step, metrics)
@@ -266,8 +271,9 @@ class Trainer:
             if max_batches is not None and bi >= max_batches:
                 break
             device_batch = shard_batch(self.mesh, _strip(batch))
-            metrics, (boxes, scores, labels, valid) = self._eval_step(
-                self.state, device_batch)
+            with self.mesh:
+                metrics, (boxes, scores, labels, valid) = self._eval_step(
+                    self.state, device_batch)
             self._accumulate_map(batch, boxes, scores, labels, valid)
             if export:
                 self._export_results(batch, boxes, scores, labels, valid)
@@ -324,8 +330,9 @@ class Trainer:
             if max_batches is not None and bi >= max_batches:
                 break
             device_batch = shard_batch(self.mesh, _strip(batch))
-            boxes, scores, labels, valid = self._predict_step(self.state,
-                                                              device_batch)
+            with self.mesh:
+                boxes, scores, labels, valid = self._predict_step(
+                    self.state, device_batch)
             self._export_results(batch, boxes, scores, labels, valid)
 
     # -------------------------------------------------------------- helpers
