@@ -205,7 +205,11 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self, max_epochs: Optional[int] = None,
-            max_steps: Optional[int] = None):
+            max_steps: Optional[int] = None, resume: bool = True):
+        """Train. With ``resume`` (default), a 'latest' checkpoint already in
+        out_path is restored first — preemption recovery: the periodic
+        latest-checkpoint (latest_every_n_steps) plus this makes a killed run
+        continue where it stopped."""
         cfg = self.cfg
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         train_loader = self.loader('train')
@@ -213,6 +217,9 @@ class Trainer:
             self.setup() if not hasattr(self, '_train_step') else None
             first = next(iter(train_loader))
             self.init_state(first)
+            latest = self.out_path / 'saved_models' / 'latest'
+            if resume and not cfg.ckpt_path and latest.is_dir():
+                self.restore(str(latest))
 
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val = float('inf')
@@ -275,6 +282,9 @@ class Trainer:
                 metrics, (boxes, scores, labels, valid) = self._eval_step(
                     self.state, device_batch)
             self._accumulate_map(batch, boxes, scores, labels, valid)
+            if log and bi == 0:
+                self._log_scene_panel(batch, boxes, scores, labels, valid,
+                                      prefix)
             if export:
                 self._export_results(batch, boxes, scores, labels, valid)
             for k, v in metrics.items():
@@ -323,6 +333,42 @@ class Trainer:
     def test(self, max_batches=None):
         return self._run_eval('val', prefix='test', max_batches=max_batches,
                               export=True)
+
+    def test_all_odds(self, odds=('highway', 'urban', 'night', 'rain'),
+                      max_batches=None) -> Dict[str, Dict[str, float]]:
+        """Per-ODD evaluation (the reference runs one config file per ODD,
+        exps/configs/eval_*.py; here it is one call)."""
+        out = {}
+        for odd in odds:
+            try:
+                ds = AiMotiveDataset(self.data_root, self.cfg, split='val',
+                                     eval_odd=odd)
+            except FileNotFoundError:
+                continue
+            if not len(ds):
+                continue
+            key = f'val_{odd}'
+            self._datasets[key] = ds
+            self._loaders.pop(key, None)
+            out[odd] = self._run_eval(key, prefix=f'test_{odd}',
+                                      max_batches=max_batches)
+        return out
+
+    def _log_scene_panel(self, batch, boxes, scores, labels, valid, prefix):
+        """First-batch BEV panel: GT white, predictions class-colored
+        (replaces the reference's wandb Object3D/heatmap panels)."""
+        try:
+            from ..utils.renderer import render_bev
+            v = np.asarray(valid[0]) & (np.asarray(scores[0]) > 0.3)
+            img = render_bev(
+                np.asarray(batch['points'][0])[np.asarray(batch['point_mask'][0])],
+                gt_boxes=np.asarray(batch['gt_boxes'][0])[np.asarray(batch['gt_mask'][0])],
+                pred_boxes=np.asarray(boxes[0])[v],
+                pred_labels=np.asarray(labels[0])[v],
+                pc_range=self.cfg.point_cloud_range, px_per_m=2.0)
+            self.logger.log_image(self.global_step, f'{prefix}_bev', img)
+        except Exception:  # viz must never break eval
+            pass
 
     def predict(self, split='val', max_batches=None):
         loader = self.loader(split)

@@ -68,3 +68,11 @@ class MetricsLogger:
 
     def log_eval(self, step: int, metrics: Dict[str, float]):
         self._emit(step, metrics)
+
+    def log_image(self, step: int, name: str, image: np.ndarray):
+        """HWC uint8 image panel (the reference logged wandb heatmap/depth
+        panels every 200 steps, mm_training_aim.py:270-284,491-499)."""
+        if self.tb is not None:
+            self.tb.add_image(name, image.transpose(2, 0, 1), step)
+        if self.wandb_run is not None:  # pragma: no cover
+            self.wandb_run.log({name: wandb.Image(image)}, step=step)
