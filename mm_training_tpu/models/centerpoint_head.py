@@ -53,7 +53,8 @@ class SeparateHead(nn.Module):
             for i in range(num_conv - 1):
                 h = nn.Conv(self.head_conv, (k, k), padding='SAME',
                             name=f'{name}_conv{i}')(h)
-                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                h = nn.BatchNorm(dtype=h.dtype,  # keep bf16 through BN (see resnet.py)
+                                 use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, axis_name=self.bn_axis_name,
                                  name=f'{name}_bn{i}')(h)
                 h = nn.relu(h)

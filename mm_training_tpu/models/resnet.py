@@ -37,8 +37,12 @@ class ConvBN(nn.Module):
                     padding=[(pad, pad), (pad, pad)],
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False)(x)
+        # dtype=x.dtype: without it flax promotes to the fp32 of the running
+        # stats in training, silently turning every downstream conv fp32
+        # (statistics are still computed in fp32 internally)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis_name)(x)
+                         epsilon=1e-5, axis_name=self.bn_axis_name,
+                         dtype=x.dtype)(x)
         if self.use_relu:
             x = nn.relu(x)
         return x

@@ -40,7 +40,8 @@ class SECONDFPN(nn.Module):
                 s = int(round(1 / us))
                 x = nn.Conv(ch, (s, s), strides=(s, s), padding='VALID',
                             use_bias=False, name=f'deblock{i}_conv')(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = nn.BatchNorm(dtype=x.dtype,  # keep bf16 through BN (see resnet.py)
+                             use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, axis_name=self.bn_axis_name,
                              name=f'deblock{i}_bn')(x)
             outs.append(nn.relu(x))
