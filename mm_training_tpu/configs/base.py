@@ -205,6 +205,11 @@ class LidarEncoderConf:
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     out_channels: int = 256
     voxelization: VoxelizationConf = field(default_factory=VoxelizationConf)
+    # fold 2x2 pillar blocks into channels before the conv pyramid:
+    # information-preserving, and lifts the early low-channel convs off the
+    # full 2048x256 grid where they run at ~4% MXU utilization. The /8 BEV
+    # output contract is unchanged (strides move inward one stage).
+    space_to_depth: bool = True
 
 
 @dataclass(frozen=True)

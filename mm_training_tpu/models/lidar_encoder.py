@@ -59,9 +59,22 @@ class LidarBEVEncoder(nn.Module):
         x = jax.vmap(vox)(points, point_mask)        # [B, ny, nx, 5]
         x = x.astype(compute_dtype)
 
+        s2d = self.conf.space_to_depth
+        if s2d:
+            b, ny, nx, f = x.shape
+            x = x.reshape(b, ny // 2, 2, nx // 2, 2, f)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, ny // 2, nx // 2,
+                                                      4 * f)
+
+        n_stages = len(self.conf.encoder_channels)
         for si, stage in enumerate(self.conf.encoder_channels):
             for ci, ch in enumerate(stage):
-                stride = 2 if (si > 0 and ci == 0) else 1
+                # total stride /8: without s2d the first conv of stages 1..3
+                # strides; with the /2 s2d entry only two stages stride
+                if s2d:
+                    stride = 2 if (ci == 0 and 1 <= si <= 2) else 1
+                else:
+                    stride = 2 if (si > 0 and ci == 0) else 1
                 x = ConvBN(ch, 3, stride, bn_axis_name=self.bn_axis_name,
                            name=f'stage{si}_conv{ci}')(x, train)
         # z-flatten equivalent: project to the 256-ch BEV contract

@@ -1,0 +1,55 @@
+"""PrefetchLoader: batching, epoch shuffling, and producer-exception
+propagation (a dead producer must not hang the training loop)."""
+import numpy as np
+import pytest
+
+from mm_training_tpu.training.loader import PrefetchLoader
+
+
+class _ArrayDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {'x': np.full((3,), float(i), np.float32), 'path': f'p{i}'}
+
+
+class _ExplodingDataset(_ArrayDataset):
+    def __getitem__(self, i):
+        if i >= 2:
+            raise ValueError('boom')
+        return super().__getitem__(i)
+
+
+def test_batching_and_drop_last():
+    ld = PrefetchLoader(_ArrayDataset(7), batch_size=2, shuffle=False,
+                        num_workers=2)
+    batches = list(ld)
+    assert len(batches) == len(ld) == 3
+    assert batches[0]['x'].shape == (2, 3)
+    np.testing.assert_allclose(batches[0]['x'][:, 0], [0, 1])
+    assert batches[0]['path'] == ['p0', 'p1']
+
+
+def test_shuffle_changes_per_epoch_deterministically():
+    ld = PrefetchLoader(_ArrayDataset(8), batch_size=2, shuffle=True,
+                        num_workers=1, seed=3)
+    ld.set_epoch(0)
+    e0 = np.concatenate([b['x'][:, 0] for b in ld])
+    ld.set_epoch(0)
+    e0b = np.concatenate([b['x'][:, 0] for b in ld])
+    np.testing.assert_array_equal(e0, e0b)
+    ld.set_epoch(1)
+    e1 = np.concatenate([b['x'][:, 0] for b in ld])
+    assert not np.array_equal(e0, e1)
+    assert sorted(e0.tolist()) == sorted(e1.tolist())
+
+
+def test_producer_exception_propagates():
+    ld = PrefetchLoader(_ExplodingDataset(8), batch_size=2, shuffle=False,
+                        num_workers=1)
+    with pytest.raises(ValueError, match='boom'):
+        list(ld)
