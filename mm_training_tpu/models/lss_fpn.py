@@ -132,16 +132,17 @@ class LSSFPN(nn.Module):
 
         Returns (bev [B, bev_h, bev_w, S*C_out], key-frame depth).
         """
-        s = imgs.shape[1]
+        b, s, n = imgs.shape[:3]
+        flip_sweeps = flipped.reshape(b, s, n)  # [B*S*N] -> per-sweep masks
         key_bev, key_depth = self._forward_single_sweep(
             imgs[:, 0], sensor2ego[:, 0], intrin[:, 0],
-            flipped, depth_oracle, train)
+            flip_sweeps[:, 0].reshape(-1), depth_oracle, train)
         if s == 1:
             return key_bev, key_depth
         bevs = [key_bev]
         for si in range(1, s):
             bev, _ = self._forward_single_sweep(
                 imgs[:, si], sensor2ego[:, si], intrin[:, si],
-                flipped, None, train)
+                flip_sweeps[:, si].reshape(-1), None, train)
             bevs.append(jax.lax.stop_gradient(bev))  # no_grad sweeps (lss_fpn.py:517)
         return jnp.concatenate(bevs, axis=-1), key_depth
