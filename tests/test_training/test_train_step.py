@@ -33,8 +33,9 @@ def _setup(cfg):
 
 
 @pytest.mark.parametrize('modalities', [
-    dict(use_cam=False, use_lidar=True, use_radar=True),
-    dict(use_cam=True, use_lidar=True, use_radar=True),
+    dict(use_cam=False, use_lidar=True, use_radar=False),  # lidar_only
+    dict(use_cam=False, use_lidar=True, use_radar=True),   # lidar_radar
+    dict(use_cam=True, use_lidar=True, use_radar=True),    # full fusion
 ])
 def test_train_step_runs_and_learns(modalities):
     cfg = tiny_test_config(**modalities)
