@@ -43,7 +43,6 @@ def main():
         cfg, batch_size=cfg.batch_size, seed=0).items()}
     model_batch = dict(batch)
     b, s, n = batch['imgs'].shape[:3]
-    model_batch['imgs'] = batch['imgs'][..., :3]
     model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
 
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),

@@ -144,30 +144,29 @@ class AiMotiveDataset:
             'bda_mat': bda_mat,
         }
 
-        # ---- cameras
+        # ---- cameras. Images ship uint8 (4x less host->device traffic);
+        # the reference's timestamp 4th channel is dropped at normalize and
+        # never reaches the model (SURVEY quirk) — carried as 'cam_ts'.
+        sample['cam_ts'] = np.float32(cam_ts)
         if cfg.use_cam:
             imgs, s2e, intr, extr = [], [], [], []
             for cam in frame.cameras[:cfg.num_cameras]:
                 img = cam.image
                 if training:
                     img = augment_image_np(img, rng)
-                img4 = np.concatenate(
-                    [img.astype(np.float32),
-                     np.full(img.shape[:2] + (1,), cam_ts, np.float32)],
-                    axis=-1)
-                imgs.append(img4)
+                imgs.append(np.ascontiguousarray(img, np.uint8))
                 ext = cam.camera_params.extrinsic.astype(np.float32)
                 extr.append(ext)
                 s2e.append(np.linalg.inv(ext))
                 i4 = np.eye(4, dtype=np.float32)
                 i4[:3, :4] = cam.camera_params.intrinsic[:3, :4]
                 intr.append(i4)
-            sample['imgs'] = np.stack(imgs)[None]          # [S=1, N, H, W, 4]
+            sample['imgs'] = np.stack(imgs)[None]          # [S=1, N, H, W, 3]
             sample['sensor2ego'] = np.stack(s2e)[None]
             sample['intrin'] = np.stack(intr)[None]
             sample['extrinsics'] = np.stack(extr)[None]
         else:
-            sample['imgs'] = np.zeros((1, 1, 1, 1, 4), np.float32)
+            sample['imgs'] = np.zeros((1, 1, 1, 1, 3), np.uint8)
             sample['sensor2ego'] = np.eye(4, dtype=np.float32)[None, None]
             sample['intrin'] = np.eye(4, dtype=np.float32)[None, None]
             sample['extrinsics'] = np.eye(4, dtype=np.float32)[None, None]

@@ -38,9 +38,9 @@ def make_fake_batch(cfg: Config, batch_size: Optional[int] = None,
                     points_fill: float = 1.0) -> Dict[str, np.ndarray]:
     """Build a collated batch dict exactly like the host loader produces.
 
-    Keys: imgs [B,S,N,H,W,4], sensor2ego/intrin/extrinsics [B,S,N,4,4],
-    points [B,P,F], point_mask [B,P], bda_mat [B,4,4], gt_boxes [B,K,9],
-    gt_labels [B,K] int32, gt_mask [B,K] bool.
+    Keys: imgs uint8 [B,S,N,H,W,3], cam_ts [B], sensor2ego/intrin/extrinsics
+    [B,S,N,4,4], points [B,P,F], point_mask [B,P], bda_mat [B,4,4],
+    gt_boxes [B,K,9], gt_labels [B,K] int32, gt_mask [B,K] bool.
     """
     rng = np.random.default_rng(seed)
     b = batch_size or cfg.batch_size
@@ -87,9 +87,9 @@ def make_fake_batch(cfg: Config, batch_size: Optional[int] = None,
                                    (b, 4, 4)).copy(),
     }
 
+    sample['cam_ts'] = np.full((b,), 0.05, np.float32)
     if cfg.use_cam:
-        imgs = rng.uniform(0, 255, (b, s, n, h, w, 4)).astype(np.float32)
-        imgs[..., 3] = 0.05  # normalized timestamp channel
+        imgs = rng.integers(0, 255, (b, s, n, h, w, 3), dtype=np.uint8)
         rigs = _camera_rigs(n)
         extr = np.stack(rigs).astype(np.float32)                 # [N, 4, 4]
         s2e = np.stack([np.linalg.inv(r) for r in rigs]).astype(np.float32)
@@ -97,12 +97,12 @@ def make_fake_batch(cfg: Config, batch_size: Optional[int] = None,
         intr = np.eye(4, dtype=np.float32)
         intr[0, 0], intr[1, 1] = f, f
         intr[0, 2], intr[1, 2] = w / 2, h / 2
-        sample['imgs'] = np.broadcast_to(imgs, (b, s, n, h, w, 4)).copy()
+        sample['imgs'] = imgs
         sample['extrinsics'] = np.broadcast_to(extr, (b, s, n, 4, 4)).copy()
         sample['sensor2ego'] = np.broadcast_to(s2e, (b, s, n, 4, 4)).copy()
         sample['intrin'] = np.broadcast_to(intr, (b, s, n, 4, 4)).copy()
     else:
-        sample['imgs'] = np.zeros((b, 1, 1, 1, 1, 4), np.float32)
+        sample['imgs'] = np.zeros((b, 1, 1, 1, 1, 3), np.uint8)
         eye = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 1, 1, 4, 4))
         sample['sensor2ego'] = eye.copy()
         sample['intrin'] = eye.copy()

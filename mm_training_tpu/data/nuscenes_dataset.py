@@ -185,8 +185,7 @@ class NuscMVDetDataset:
             k4[:3, :3] = k
             k4 = ida @ k4  # fold augmentation into the intrinsic
 
-            ts = np.full(img.shape[:2] + (1,), 0.0, np.float32)
-            imgs.append(np.concatenate([img.astype(np.float32), ts], -1))
+            imgs.append(np.ascontiguousarray(img, np.uint8))
             s2e.append(sensor2ego.astype(np.float32))
             extr.append(np.linalg.inv(sensor2ego).astype(np.float32))
             intr.append(k4.astype(np.float32))
@@ -238,8 +237,9 @@ class NuscMVDetDataset:
             'point_mask': np.zeros((cfg.max_points,), bool),
             'gt_boxes': gt_boxes, 'gt_labels': gt_labels, 'gt_mask': gt_mask,
             'bda_mat': bda_mat,
+            'cam_ts': np.float32(0.0),
             'imgs': np.stack(imgs)[None] if imgs
-                    else np.zeros((1, 1, 1, 1, 4), np.float32),
+                    else np.zeros((1, 1, 1, 1, 3), np.uint8),
             'sensor2ego': np.stack(s2e)[None] if s2e
                           else np.eye(4, dtype=np.float32)[None, None],
             'intrin': np.stack(intr)[None] if intr

@@ -70,9 +70,10 @@ def create_train_state(cfg: Config, model: BEVDepthLiDAR, tx, rng,
 # ------------------------------------------------------------- preprocessing
 
 def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:
-    """Drop the timestamp channel and ImageNet-normalize
-    (mm_training_aim.py:510-512)."""
-    x = imgs[..., :3] / 255.0
+    """ImageNet-normalize uint8 (or float 0-255) images
+    (mm_training_aim.py:510-512; the reference's timestamp 4th channel never
+    survived this step, so images now ship 3-channel uint8)."""
+    x = imgs[..., :3].astype(jnp.float32) / 255.0
     mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
     std = jnp.asarray(IMAGENET_STD, x.dtype)
     return (x - mean) / std

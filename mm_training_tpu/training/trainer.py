@@ -135,7 +135,6 @@ class Trainer:
         device_batch = shard_batch(self.mesh, _strip(sample_batch))
         model_batch = dict(device_batch)
         b, s, n = model_batch['imgs'].shape[:3]
-        model_batch['imgs'] = model_batch['imgs'][..., :3]
         model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
         self.state = create_train_state(self.cfg, self.model, self.tx, rng,
                                         model_batch)

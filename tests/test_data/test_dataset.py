@@ -44,12 +44,12 @@ def test_camera_pipeline(dataset_root):
     # virtualization target follows cfg.final_dim (H=64, W=128 here)
     ds = AiMotiveDataset(dataset_root, cfg, split='train')
     s = ds[0]
-    assert s['imgs'].shape == (1, 2, 64, 128, 4)
+    assert s['imgs'].shape == (1, 2, 64, 128, 3)
+    assert s['imgs'].dtype == np.uint8  # 4x less host->device traffic
     assert s['sensor2ego'].shape == (1, 2, 4, 4)
     assert s['intrin'].shape == (1, 2, 4, 4)
-    # timestamp channel is constant per camera and normalized
-    ts = s['imgs'][0, 0, ..., 3]
-    assert np.allclose(ts, ts.flat[0])
+    # normalized camera timestamp carried as a scalar field
+    assert 0.0 <= float(s['cam_ts']) <= 1.0
     assert s['points'].shape[-1] == 5  # no radar features
 
 

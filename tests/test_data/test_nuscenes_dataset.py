@@ -66,7 +66,8 @@ def test_nuscenes_dataset_items(tmp_path):
                           is_train=True, cams=('CAM_FRONT', 'CAM_BACK'))
     assert len(ds) == 3
     s = ds[0]
-    assert s['imgs'].shape == (1, 2, 64, 128, 4)
+    assert s['imgs'].shape == (1, 2, 64, 128, 3)
+    assert s['imgs'].dtype == np.uint8
     assert s['intrin'].shape == (1, 2, 4, 4)
     assert s['gt_mask'].sum() == 4
     labels = s['gt_labels'][s['gt_mask']]

@@ -25,7 +25,6 @@ def _setup(cfg):
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     model_batch = dict(batch)
     b, s, n = batch['imgs'].shape[:3]
-    model_batch['imgs'] = batch['imgs'][..., :3]
     model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
                                model_batch)

@@ -16,7 +16,6 @@ def test_tta_shapes_and_decode():
     model = BEVDepthLiDAR(cfg)
     batch = {k: jnp.asarray(v) for k, v in make_fake_batch(cfg, seed=0).items()}
     b, s, n = batch['imgs'].shape[:3]
-    batch['imgs'] = batch['imgs'][..., :3]
     batch['flipped'] = jnp.zeros((b * s * n,), bool)
 
     variables = jax.jit(model.init, static_argnums=(3,))(
