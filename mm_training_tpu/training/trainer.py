@@ -232,8 +232,7 @@ class Trainer:
         timer = StepTimer()
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
-                device_batch = shard_batch(self.mesh, _strip(batch))
+            for batch, device_batch in self._device_batches(train_loader):
                 timer.start()
                 # mesh context resolves sharding-constraint axis names
                 with self.mesh:
@@ -273,10 +272,8 @@ class Trainer:
         self.map_calculator.reset()
         agg: Dict[str, float] = {}
         count = 0
-        for bi, batch in enumerate(loader):
-            if max_batches is not None and bi >= max_batches:
-                break
-            device_batch = shard_batch(self.mesh, _strip(batch))
+        for bi, (batch, device_batch) in enumerate(
+                self._device_batches(loader, max_batches)):
             with self.mesh:
                 metrics, (boxes, scores, labels, valid) = self._eval_step(
                     self.state, device_batch)
@@ -371,16 +368,31 @@ class Trainer:
 
     def predict(self, split='val', max_batches=None):
         loader = self.loader(split)
-        for bi, batch in enumerate(loader):
-            if max_batches is not None and bi >= max_batches:
-                break
-            device_batch = shard_batch(self.mesh, _strip(batch))
+        for batch, device_batch in self._device_batches(loader, max_batches):
             with self.mesh:
                 boxes, scores, labels, valid = self._predict_step(
                     self.state, device_batch)
             self._export_results(batch, boxes, scores, labels, valid)
 
     # -------------------------------------------------------------- helpers
+    def _device_batches(self, loader, max_batches: Optional[int] = None):
+        """Yield (host_batch, device_batch) with the NEXT transfer already
+        enqueued — device_put is async, so H2D of batch i+1 overlaps step i
+        (the tunnel transfer would otherwise serialize with compute)."""
+        it = iter(loader)
+        cur = None
+        count = 0
+        for nxt in it:
+            nxt_pair = (nxt, shard_batch(self.mesh, _strip(nxt)))
+            if cur is not None:
+                yield cur
+                count += 1
+                if max_batches is not None and count >= max_batches:
+                    return
+            cur = nxt_pair
+        if cur is not None and (max_batches is None or count < max_batches):
+            yield cur
+
     def _accumulate_map(self, batch, boxes, scores, labels, valid):
         boxes, scores = np.asarray(boxes), np.asarray(scores)
         labels, valid = np.asarray(labels), np.asarray(valid)
