@@ -5,10 +5,11 @@ from .train_step import (TrainState, create_train_state, make_eval_step,
                          make_predict_step, make_train_step, normalize_images,
                          depth_loss_fn)
 from .trainer import Trainer, boxes_to_aimotive_dict
+from .tta import tta_forward
 
 __all__ = [
     'PrefetchLoader', 'TrainState', 'Trainer', 'boxes_to_aimotive_dict',
     'create_train_state', 'depth_loss_fn', 'ema_init', 'ema_update',
     'make_eval_step', 'make_optimizer', 'make_predict_step', 'make_train_step',
-    'multistep_schedule', 'normalize_images',
+    'multistep_schedule', 'normalize_images', 'tta_forward',
 ]
