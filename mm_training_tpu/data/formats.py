@@ -45,10 +45,16 @@ def object_to_array(obj: Dict):
                       obj['BoundingBox3D Orientation Quat Y'],
                       obj['BoundingBox3D Orientation Quat Z'],
                       obj['BoundingBox3D Orientation Quat W'])
+    # velocity: dataset schema uses 'Relative Velocity *'; tolerate the
+    # 'BoundingBox3D Relative Velocity *' keys the reference exporter wrote
+    vx = obj.get('Relative Velocity X',
+                 obj.get('BoundingBox3D Relative Velocity X', 0.0))
+    vy = obj.get('Relative Velocity Y',
+                 obj.get('BoundingBox3D Relative Velocity Y', 0.0))
     arr = [obj['BoundingBox3D Origin X'], obj['BoundingBox3D Origin Y'],
            obj['BoundingBox3D Origin Z'], obj['BoundingBox3D Extent X'],
            obj['BoundingBox3D Extent Y'], obj['BoundingBox3D Extent Z'],
-           yaw, obj['Relative Velocity X'], obj['Relative Velocity Y']]
+           yaw, vx, vy]
     return arr, obj['ObjectType']
 
 

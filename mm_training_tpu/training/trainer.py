@@ -62,9 +62,13 @@ def boxes_to_aimotive_dict(boxes: np.ndarray, scores: np.ndarray,
             'BoundingBox3D Extent X': float(box[3]),
             'BoundingBox3D Extent Y': float(box[4]),
             'BoundingBox3D Extent Z': float(box[5]),
-            'BoundingBox3D Relative Velocity X': float(box[7]),
-            'BoundingBox3D Relative Velocity Y': float(box[8]),
-            'BoundingBox3D Relative Velocity Z': 0,
+            # dataset schema keys (annotation.py) — the reference's exporter
+            # writes 'BoundingBox3D Relative Velocity *' instead, which its
+            # own loader cannot parse back; deviation makes exports
+            # round-trip as annotations
+            'Relative Velocity X': float(box[7]),
+            'Relative Velocity Y': float(box[8]),
+            'Relative Velocity Z': 0,
             'BoundingBox3D Orientation Quat X': float(quat[0]),
             'BoundingBox3D Orientation Quat Y': float(quat[1]),
             'BoundingBox3D Orientation Quat Z': float(quat[2]),
