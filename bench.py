@@ -2,7 +2,10 @@
 
 Measures training throughput (samples/sec/chip) of the flagship
 LiDAR+radar+camera fusion model at production shapes (704x1280 x4 cameras,
-100k points, 2048x256 BEV grid) on the attached TPU chip.
+100k points, 2048x256 BEV grid) on the attached TPU chip, using the
+production K-step dispatch (Config.steps_per_dispatch: lax.scan over stacked
+micro-batches amortizes the fixed per-dispatch host cost of the
+remote-attached backend).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 ``vs_baseline`` ratio is computed against the BASELINE.md target proxy of
@@ -15,6 +18,7 @@ import json
 import time
 
 A100_BASELINE_SAMPLES_PER_SEC = 2.0
+K_STEPS = 4  # steps per dispatch
 
 
 def main():
@@ -26,16 +30,15 @@ def main():
     from mm_training_tpu.models import BEVDepthLiDAR
     from mm_training_tpu.training.optim import make_optimizer
     from mm_training_tpu.training.train_step import (create_train_state,
-                                                     make_train_step)
+                                                     make_train_step_multi)
 
     on_tpu = jax.default_backend() in ('tpu', 'axon')
     if on_tpu:
-        # batch 2/chip: amortizes the per-dispatch host round-trip; batch 4
-        # currently exceeds the remote compile helper's limits
-        cfg = lidar_cam_radar(batch_size=2, max_points_per_frame=100_000)
+        cfg = lidar_cam_radar(batch_size=2, max_points_per_frame=100_000,
+                              steps_per_dispatch=K_STEPS)
     else:  # CPU smoke fallback so the harness always emits a line
         cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True,
-                               batch_size=1)
+                               batch_size=1, steps_per_dispatch=K_STEPS)
 
     model = BEVDepthLiDAR(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
@@ -47,26 +50,28 @@ def main():
 
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
                                model_batch)
-    train_step = make_train_step(cfg, model, tx)
+    stacked = {k: jnp.broadcast_to(v[None], (K_STEPS,) + v.shape)
+               for k, v in batch.items()}
+    train_step = make_train_step_multi(cfg, model, tx, K_STEPS)
     rng = jax.random.PRNGKey(1)
 
-    # warmup: compile + 2 steps. NOTE: fetch after every step — queueing a
-    # second large program behind an uncompleted one stalls the remote-
-    # attached backend indefinitely (measured), and per-step fetch matches
-    # how the trainer consumes metrics anyway.
-    state, metrics = train_step(state, batch, rng)
+    # warmup: compile + 2 dispatches. NOTE: fetch after every dispatch —
+    # queueing a second large program behind an uncompleted one stalls the
+    # remote-attached backend indefinitely (measured), and per-dispatch fetch
+    # matches how the trainer consumes metrics anyway.
+    state, metrics = train_step(state, stacked, rng)
     _ = float(metrics['train_loss'])
-    state, metrics = train_step(state, batch, rng)
+    state, metrics = train_step(state, stacked, rng)
     _ = float(metrics['train_loss'])
 
-    iters = 20 if on_tpu else 3
+    dispatches = 6 if on_tpu else 2
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch, rng)
+    for _ in range(dispatches):
+        state, metrics = train_step(state, stacked, rng)
         _ = float(metrics['train_loss'])
     dt = time.perf_counter() - t0
 
-    sps = cfg.batch_size * iters / dt
+    sps = cfg.batch_size * K_STEPS * dispatches / dt
     print(json.dumps({
         'metric': 'train_samples_per_sec_lidar_cam_radar',
         'value': round(sps, 4),

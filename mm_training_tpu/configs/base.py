@@ -266,6 +266,10 @@ class Config:
     look_back: int = 0
     look_forward: int = 0
     ckpt_path: Optional[str] = None
+    # root of a scripts/gen_depth_gt.py mirror tree: when set, datasets ship
+    # precomputed depth-GT grids and the train step skips the on-device
+    # projection (reference parity: nusc_mv_det_dataset.py:387-396)
+    depth_gt_root: Optional[str] = None
 
     # --- trainer (conf_aim.py:29-32 + Lightning defaults in mm_training_aim.py:619-628)
     max_epochs: int = 999
@@ -287,11 +291,20 @@ class Config:
     # model axis spatially shards the BEV x dimension (2048 cells)
     model_parallel: int = 1
 
+    # K train steps per device dispatch (lax.scan over stacked micro-batches).
+    # Amortizes the fixed per-dispatch host cost; metrics are fetched once per
+    # dispatch. 1 = classic one-step-per-dispatch loop.
+    steps_per_dispatch: int = 1
+
     # --- fixed-shape capacities (TPU static shapes; reference was dynamic)
     max_points_per_frame: int = 0   # 0 => (1+look_back+look_forward)*100_000
     max_objs: int = 500
     num_cameras: int = 4            # virtual pinholes: frontx1 back x1 fisheye 2x... see data/
     num_sweeps: int = 1
+    # each Mei fisheye -> two yaw+-30deg virtual pinholes (data_loader.py:
+    # 152-191); with both fisheyes on, set num_cameras=6. Off by default —
+    # the reference also ships with fisheye imreads commented out.
+    virtualize_fisheyes: bool = False
 
     # --- sub-configs (auto-derived when left as None)
     backbone_conf: Optional[BackboneConf] = None

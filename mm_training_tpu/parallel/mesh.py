@@ -46,10 +46,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, stacked: bool = False):
     """Device-put a host batch dict with batch-dim sharding (non-arrays pass
-    through untouched)."""
-    sh = batch_sharding(mesh)
+    through untouched). With ``stacked`` the arrays carry a leading K
+    (steps-per-dispatch) axis and the batch dim is axis 1."""
+    sh = (NamedSharding(mesh, P(None, DATA_AXIS)) if stacked
+          else batch_sharding(mesh))
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)):

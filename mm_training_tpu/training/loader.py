@@ -16,7 +16,21 @@ import numpy as np
 
 from ..data.aimotive_dataset import collate_aim
 
-__all__ = ['PrefetchLoader']
+__all__ = ['PrefetchLoader', 'stack_batches']
+
+
+def stack_batches(batches):
+    """Stack K host batches on a new leading axis for K-step dispatch
+    (train_step.make_train_step_multi). Non-array fields (e.g. 'path')
+    become lists."""
+    out = {}
+    for k in batches[0]:
+        vals = [b[k] for b in batches]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = vals
+    return out
 
 
 class PrefetchLoader:
@@ -31,6 +45,8 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        # one long-lived pool (a per-batch pool would churn threads)
+        self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
     def __len__(self):
         n = len(self.dataset)
@@ -58,9 +74,7 @@ class PrefetchLoader:
             return iter(())
 
         def load_batch(indices):
-            with ThreadPoolExecutor(max_workers=min(self.num_workers,
-                                                    len(indices))) as ex:
-                samples = list(ex.map(self.dataset.__getitem__, indices))
+            samples = list(self._pool.map(self.dataset.__getitem__, indices))
             return collate_aim(samples)
 
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)

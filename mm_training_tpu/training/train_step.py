@@ -29,6 +29,7 @@ import optax
 from ..configs import Config
 from ..models import BEVDepthLiDAR, decode_boxes, detection_loss
 from ..models.centerpoint_head import get_targets_batch
+from ..ops.depth_labels import depth_grid_to_onehot as compute_onehot_grid
 from ..ops.depth_labels import depth_labels as compute_depth_labels
 
 __all__ = ['TrainState', 'create_train_state', 'make_train_step',
@@ -81,25 +82,42 @@ def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:
 
 def _prepare_camera_inputs(cfg: Config, batch, rng, training: bool):
     """Depth labels + normalization + random hflip; returns the updated model
-    batch, flipped depth labels (for the loss), and the oracle input."""
+    batch, flipped depth labels (for the loss), and the oracle input.
+
+    Labels come from the precomputed depth-GT grids when the batch carries
+    them ('depth_gt' [B, N, fh, fw], written by scripts/gen_depth_gt.py —
+    the reference's nusc_mv_det_dataset.py:387-396 equivalent), else from an
+    on-device projection of the un-augmented point cloud."""
     imgs = normalize_images(batch['imgs'])           # [B, S, N, H, W, 3]
     b, s, n = imgs.shape[:3]
+    bb = cfg.get_backbone_conf()
 
-    # depth labels from the un-augmented cloud (mm_training_aim.py:115-141)
-    inv_bda = jnp.linalg.inv(batch['bda_mat'])       # [B, 4, 4]
+    if 'depth_gt' in batch:
+        key_labels = compute_onehot_grid(batch['depth_gt'], bb.d_bound,
+                                         bb.depth_channels)  # [B,N,fh,fw,D]
+        if s == 1:
+            labels = key_labels
+        else:  # only key-frame labels are consumed; pad the other sweeps
+            labels = jnp.zeros((b, s) + key_labels.shape[1:],
+                               key_labels.dtype).at[:, 0].set(key_labels)
+            labels = labels.reshape((b, s * n) + key_labels.shape[2:])
+        labels = labels.reshape((b * s * n,) + labels.shape[-3:])
+    else:
+        # depth labels from the un-augmented cloud (mm_training_aim.py:115-141)
+        inv_bda = jnp.linalg.inv(batch['bda_mat'])       # [B, 4, 4]
 
-    def labels_one(points, mask, extr, intr, ibda):
-        pts = points.at[:, :3].set(
-            jnp.matmul(points[:, :3], ibda[:3, :3].T, precision='highest'))
-        bb = cfg.get_backbone_conf()
-        return compute_depth_labels(
-            pts, mask, extr.reshape(-1, 4, 4), intr.reshape(-1, 4, 4),
-            cfg.final_dim, bb.downsample_factor, bb.d_bound, bb.depth_channels)
+        def labels_one(points, mask, extr, intr, ibda):
+            pts = points.at[:, :3].set(
+                jnp.matmul(points[:, :3], ibda[:3, :3].T, precision='highest'))
+            return compute_depth_labels(
+                pts, mask, extr.reshape(-1, 4, 4), intr.reshape(-1, 4, 4),
+                cfg.final_dim, bb.downsample_factor, bb.d_bound,
+                bb.depth_channels)
 
-    labels = jax.vmap(labels_one)(
-        batch['points'], batch['point_mask'], batch['extrinsics'],
-        batch['intrin'], inv_bda)                    # [B, S*N, fh, fw, D]
-    labels = labels.reshape((b * s * n,) + labels.shape[2:])
+        labels = jax.vmap(labels_one)(
+            batch['points'], batch['point_mask'], batch['extrinsics'],
+            batch['intrin'], inv_bda)                    # [B, S*N, fh, fw, D]
+        labels = labels.reshape((b * s * n,) + labels.shape[2:])
 
     if training:
         flips = jax.random.bernoulli(rng, 0.5, (b * s * n,))
@@ -277,9 +295,8 @@ def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
         variables = {'params': params, 'batch_stats': stats}
         if cfg.use_tta:
             from .tta import tta_forward
-            preds = tta_forward(cfg, model, variables, model_batch, oracle)
-            _, depth_pred, _, _ = model.apply(variables, model_batch, oracle,
-                                              False)
+            preds, depth_pred = tta_forward(cfg, model, variables,
+                                            model_batch, oracle)
         else:
             preds, depth_pred, _, _ = model.apply(variables, model_batch,
                                                   oracle, False)
@@ -294,7 +311,15 @@ def make_eval_step(cfg: Config, model: BEVDepthLiDAR):
         boxes, scores, labels, valid = decode_boxes(head_conf, preds)
         metrics = {'detection_loss': det, 'depth_loss': dep,
                    'loss': det + dep}
-        return metrics, (boxes, scores, labels, valid)
+        # small viz maps for the first sample: per-task max-class heatmap
+        # (sigmoid space) + camera-0 depth distribution — the trainer logs
+        # these as panels (reference: wandb log_images, mm_training_aim.py:
+        # 491-499). Negligible vs the decode outputs.
+        viz = {'heatmaps': jnp.stack([
+            jax.nn.sigmoid(jnp.max(p['heatmap'][0], axis=-1)) for p in preds]) }
+        if depth_pred is not None:
+            viz['depth'] = depth_pred[0].astype(jnp.float32)
+        return metrics, (boxes, scores, labels, valid), viz
 
     return eval_step
 
@@ -322,7 +347,7 @@ def make_predict_step(cfg: Config, model: BEVDepthLiDAR):
         variables = {'params': params, 'batch_stats': stats}
         if cfg.use_tta:
             from .tta import tta_forward
-            preds = tta_forward(cfg, model, variables, model_batch, oracle)
+            preds, _ = tta_forward(cfg, model, variables, model_batch, oracle)
         else:
             preds, _, _, _ = model.apply(variables, model_batch, oracle, False)
         return decode_boxes(head_conf, cast_floating(preds, jnp.float32))

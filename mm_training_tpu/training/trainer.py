@@ -34,10 +34,11 @@ from ..parallel import (all_gather_object, is_main_process, make_mesh,
                         process_count, shard_batch)
 from ..utils.logging import MetricsLogger
 from ..utils.profiling import StepTimer, profile_trace
-from .loader import PrefetchLoader
+from .loader import PrefetchLoader, stack_batches
 from .optim import make_optimizer
 from .train_step import (TrainState, create_train_state, make_eval_step,
-                         make_predict_step, make_train_step)
+                         make_predict_step, make_train_step,
+                         make_train_step_multi)
 
 try:
     import orbax.checkpoint as ocp
@@ -106,10 +107,19 @@ class Trainer:
                                                     split=split)
         return self._datasets[split]
 
+    @property
+    def data_parallel_size(self) -> int:
+        from ..parallel import DATA_AXIS
+        return self.mesh.shape[DATA_AXIS]
+
     def loader(self, split: str) -> PrefetchLoader:
+        """Host loader yielding GLOBAL batches: cfg.batch_size is per-device
+        (conf_aim.py per-GPU semantics); the global-view jit shards them over
+        the data axis."""
         if split not in self._loaders:
             self._loaders[split] = PrefetchLoader(
-                self.dataset(split), self.cfg.batch_size,
+                self.dataset(split),
+                self.cfg.batch_size * self.data_parallel_size,
                 shuffle=(split == 'train'), num_workers=self.cfg.num_workers,
                 seed=self.cfg.seed)
         return self._loaders[split]
@@ -124,6 +134,10 @@ class Trainer:
                 steps_per_epoch = 1000
         self.tx = make_optimizer(cfg, steps_per_epoch)
         self._train_step = make_train_step(cfg, self.model, self.tx)
+        self._train_step_multi = (
+            make_train_step_multi(cfg, self.model, self.tx,
+                                  cfg.steps_per_dispatch)
+            if cfg.steps_per_dispatch > 1 else None)
         self._eval_step = make_eval_step(cfg, self.model)
         self._predict_step = make_predict_step(cfg, self.model)
         self.steps_per_epoch = steps_per_epoch
@@ -188,22 +202,24 @@ class Trainer:
 
     def restore(self, path: str):
         """Restore params/opt state from an orbax directory (a manager root
-        or a single step dir)."""
+        or a single step dir). Raises on a missing/invalid path — silently
+        training from scratch is the exact failure checkpointing exists to
+        prevent."""
         assert self.state is not None, 'call init_state first'
         path = os.path.abspath(path)
-        restored = None
-        if os.path.isdir(path):
-            step_dirs = [d for d in os.listdir(path) if d.isdigit()]
-            if step_dirs:
-                path = os.path.join(path, str(max(int(d) for d in step_dirs)))
-            # CheckpointManager saves the pytree under the 'default' item
-            if os.path.isdir(os.path.join(path, 'default')):
-                path = os.path.join(path, 'default')
-            ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(path, _state_to_pytree(self.state))
-        if restored is not None:
-            self.state = _pytree_to_state(self.state, restored)
-            self.global_step = int(self.state.step)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f'checkpoint path {path!r} is not a directory')
+        step_dirs = [d for d in os.listdir(path) if d.isdigit()]
+        if step_dirs:
+            path = os.path.join(path, str(max(int(d) for d in step_dirs)))
+        # CheckpointManager saves the pytree under the 'default' item
+        if os.path.isdir(os.path.join(path, 'default')):
+            path = os.path.join(path, 'default')
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, _state_to_pytree(self.state))
+        self.state = _pytree_to_state(self.state, restored)
+        self.global_step = int(self.state.step)
         return self.state
 
     # ------------------------------------------------------------------ fit
@@ -233,20 +249,27 @@ class Trainer:
             self._run_eval('val', max_batches=cfg.num_sanity_val_steps,
                            log=False)
 
+        kdisp = max(1, cfg.steps_per_dispatch)
+        step_fn = self._train_step_multi if kdisp > 1 else self._train_step
         timer = StepTimer()
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
-            for batch, device_batch in self._device_batches(train_loader):
+            for batch, device_batch in self._device_batches(train_loader,
+                                                            stack=kdisp):
                 timer.start()
+                prev_step = self.global_step
                 # mesh context resolves sharding-constraint axis names
                 with self.mesh:
-                    self.state, metrics = self._train_step(
-                        self.state, device_batch, rng)
+                    self.state, metrics = step_fn(self.state, device_batch,
+                                                  rng)
                 self.global_step = int(self.state.step)  # fetch = step barrier
-                timer.stop(n_samples=batch['points'].shape[0])
+                n = batch['points'].shape[0] * (batch['points'].shape[1]
+                                                if kdisp > 1 else 1)
+                timer.stop(n_samples=n)
                 self.logger.log_step(self.global_step, metrics)
-                if (cfg.latest_every_n_steps
-                        and self.global_step % cfg.latest_every_n_steps == 0):
+                if cfg.latest_every_n_steps and (
+                        self.global_step // cfg.latest_every_n_steps
+                        > prev_step // cfg.latest_every_n_steps):
                     self.save_checkpoint('latest')
                 if max_steps and self.global_step >= max_steps:
                     break
@@ -279,12 +302,12 @@ class Trainer:
         for bi, (batch, device_batch) in enumerate(
                 self._device_batches(loader, max_batches)):
             with self.mesh:
-                metrics, (boxes, scores, labels, valid) = self._eval_step(
-                    self.state, device_batch)
+                metrics, (boxes, scores, labels, valid), viz = \
+                    self._eval_step(self.state, device_batch)
             self._accumulate_map(batch, boxes, scores, labels, valid)
             if log and bi == 0:
                 self._log_scene_panel(batch, boxes, scores, labels, valid,
-                                      prefix)
+                                      prefix, viz)
             if export:
                 self._export_results(batch, boxes, scores, labels, valid)
             for k, v in metrics.items():
@@ -305,6 +328,12 @@ class Trainer:
             bev = self.map_calculator.compute_bev(
                 iou_thr=0.3, x_range=cfg.point_cloud_range[3])
             out.update({f'{prefix}_{k}': float(v) for k, v in bev.items()})
+            if export:
+                # PR curves + per-class AP per eval (utils/eval.py:483-499)
+                self.map_calculator.export_pr_curves(
+                    str(self.out_path / 'metrics' / prefix),
+                    iou_thr=0.3, x_range=cfg.point_cloud_range[3],
+                    class_names=CLASSES)
         self.map_calculator.reset()
         if log:
             self.logger.log_eval(self.global_step, out)
@@ -354,19 +383,50 @@ class Trainer:
                                       max_batches=max_batches)
         return out
 
-    def _log_scene_panel(self, batch, boxes, scores, labels, valid, prefix):
-        """First-batch BEV panel: GT white, predictions class-colored
-        (replaces the reference's wandb Object3D/heatmap panels)."""
+    def _log_scene_panel(self, batch, boxes, scores, labels, valid, prefix,
+                         viz=None):
+        """First-batch panels: BEV raster (GT white, predictions
+        class-colored), per-task heatmaps, expected-depth map, and camera
+        images with projected points + box wireframes — parity with the
+        reference's wandb Object3D / log_images artifacts
+        (mm_training_aim.py:379-404,491-499)."""
         try:
-            from ..utils.renderer import render_bev
+            from ..utils.renderer import (draw_boxes_camera,
+                                          draw_points_camera,
+                                          render_bev, render_depth_panel,
+                                          render_heatmap_panel)
             v = np.asarray(valid[0]) & (np.asarray(scores[0]) > 0.3)
-            img = render_bev(
-                np.asarray(batch['points'][0])[np.asarray(batch['point_mask'][0])],
-                gt_boxes=np.asarray(batch['gt_boxes'][0])[np.asarray(batch['gt_mask'][0])],
-                pred_boxes=np.asarray(boxes[0])[v],
-                pred_labels=np.asarray(labels[0])[v],
-                pc_range=self.cfg.point_cloud_range, px_per_m=2.0)
+            pts0 = np.asarray(batch['points'][0])[np.asarray(batch['point_mask'][0])]
+            gt0 = np.asarray(batch['gt_boxes'][0])[np.asarray(batch['gt_mask'][0])]
+            pred_b = np.asarray(boxes[0])[v]
+            pred_l = np.asarray(labels[0])[v]
+            img = render_bev(pts0, gt_boxes=gt0, pred_boxes=pred_b,
+                             pred_labels=pred_l,
+                             pc_range=self.cfg.point_cloud_range, px_per_m=2.0)
             self.logger.log_image(self.global_step, f'{prefix}_bev', img)
+
+            if viz is not None and 'heatmaps' in viz:
+                hm = np.asarray(viz['heatmaps'], np.float32)
+                self.logger.log_image(self.global_step, f'{prefix}_heatmaps',
+                                      render_heatmap_panel(list(hm)))
+            if viz is not None and 'depth' in viz:
+                bb = self.cfg.get_backbone_conf()
+                self.logger.log_image(
+                    self.global_step, f'{prefix}_depth',
+                    render_depth_panel(np.asarray(viz['depth'], np.float32),
+                                       bb.d_bound))
+            if self.cfg.use_cam and 'imgs' in batch:
+                cam_img = np.asarray(batch['imgs'][0, 0, 0])[..., :3]
+                cam_img = np.ascontiguousarray(cam_img, np.uint8)
+                extr = np.asarray(batch['extrinsics'][0]).reshape(-1, 4, 4)[0]
+                intr = np.asarray(batch['intrin'][0]).reshape(-1, 4, 4)[0]
+                cam_img = draw_points_camera(cam_img, pts0, extr, intr)
+                cam_img = draw_boxes_camera(cam_img, gt0, extr, intr,
+                                            color=(255, 255, 255))
+                cam_img = draw_boxes_camera(cam_img, pred_b, extr, intr,
+                                            labels=pred_l)
+                self.logger.log_image(self.global_step, f'{prefix}_cam0',
+                                      cam_img)
         except Exception:  # viz must never break eval
             pass
 
@@ -379,15 +439,30 @@ class Trainer:
             self._export_results(batch, boxes, scores, labels, valid)
 
     # -------------------------------------------------------------- helpers
-    def _device_batches(self, loader, max_batches: Optional[int] = None):
+    def _device_batches(self, loader, max_batches: Optional[int] = None,
+                        stack: int = 1):
         """Yield (host_batch, device_batch) with the NEXT transfer already
         enqueued — device_put is async, so H2D of batch i+1 overlaps step i
-        (the tunnel transfer would otherwise serialize with compute)."""
+        (the tunnel transfer would otherwise serialize with compute).
+
+        With ``stack`` > 1, groups that many loader batches on a leading K
+        axis for K-step dispatch (an incomplete trailing group is dropped,
+        like drop_last)."""
         it = iter(loader)
+        if stack > 1:
+            def grouped(src):
+                group = []
+                for b in src:
+                    group.append(b)
+                    if len(group) == stack:
+                        yield stack_batches(group)
+                        group = []
+            it = grouped(it)
         cur = None
         count = 0
         for nxt in it:
-            nxt_pair = (nxt, shard_batch(self.mesh, _strip(nxt)))
+            nxt_pair = (nxt, shard_batch(self.mesh, _strip(nxt),
+                                         stacked=stack > 1))
             if cur is not None:
                 yield cur
                 count += 1

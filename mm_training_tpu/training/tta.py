@@ -71,18 +71,21 @@ def _correct_pred(pred: Dict[str, jnp.ndarray], x_flip: float, y_flip: float):
 
 def tta_forward(cfg: Config, model: BEVDepthLiDAR, variables,
                 model_batch: Dict[str, jnp.ndarray], oracle=None
-                ) -> List[Dict[str, jnp.ndarray]]:
-    """4-way flip-ensembled forward; returns head preds in the canonical
-    logit/log parameterization (drop-in for decode_boxes / loss)."""
+                ) -> tuple:
+    """4-way flip-ensembled forward; returns (head preds in the canonical
+    logit/log parameterization — drop-in for decode_boxes / loss, depth_pred
+    from the identity branch — so callers need no 5th forward)."""
     acc = None
+    depth_pred = None
     for x_flip in (1.0, -1.0):
         for y_flip in (1.0, -1.0):
             b = _flip_points(model_batch, x_flip, y_flip)
-            preds, _, _, _ = model.apply(variables, b, oracle, False)
+            preds, dp, _, _ = model.apply(variables, b, oracle, False)
             preds = cast_floating(preds, jnp.float32)
             corrected = [_correct_pred(p, x_flip, y_flip) for p in preds]
             if acc is None:
                 acc = corrected
+                depth_pred = dp  # identity (1, 1) branch
             else:
                 acc = [
                     {k: a[k] + c[k] for k in a}
@@ -96,4 +99,4 @@ def tta_forward(cfg: Config, model: BEVDepthLiDAR, variables,
         t['heatmap'] = jnp.log(hm) - jnp.log1p(-hm)   # inverse sigmoid
         t['dim'] = jnp.log(jnp.maximum(t['dim'], 1e-12))
         out.append(t)
-    return out
+    return out, depth_pred

@@ -20,6 +20,57 @@ from mm_training_tpu.training.train_step import (create_train_state,
                                                  make_train_step)
 
 
+def _overfit_and_score(cfg, n_steps, lr=2e-3, score_thr=0.1, batch=None):
+    model = BEVDepthLiDAR(cfg)
+    tx = optax.chain(optax.clip_by_global_norm(2.0),
+                     optax.adamw(lr, weight_decay=1e-7))
+    if batch is None:
+        batch = make_fake_batch(cfg, seed=0, n_objects=8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    mb = dict(batch)
+    b, s, n = batch['imgs'].shape[:3]
+    mb['flipped'] = jnp.zeros((b * s * n,), bool)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), mb)
+    step = make_train_step(cfg, model, tx)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(n_steps):
+        state, m = step(state, batch, rng)
+
+    _, (boxes, scores, labels, valid), _ = make_eval_step(cfg, model)(
+        state, batch)
+    calc = MAPCalculator()
+    gts, preds = [], []
+    for i in range(cfg.batch_size):
+        v = np.asarray(valid[i]) & (np.asarray(scores[i]) > score_thr)
+        preds.append([np.asarray(boxes[i])[v], np.asarray(scores[i])[v],
+                      np.asarray(labels[i])[v]])
+        gm = np.asarray(batch['gt_mask'][i])
+        gts.append([np.asarray(batch['gt_boxes'][i])[gm],
+                    np.asarray(batch['gt_labels'][i])[gm]])
+    calc.update(gts, preds)
+    return float(m['train_loss']), calc.compute_bev(iou_thr=0.3, x_range=25.6)
+
+
+@pytest.mark.slow
+def test_camera_branch_overfits_one_batch():
+    """Camera-only branch (LSSFPN -> lift-splat -> head) must reproduce its
+    own training boxes — the claim BASELINE.md makes, now reproducible.
+    Objects are placed inside the two camera frustums (outside them the cam
+    BEV is empty and nothing can localize, exactly like the reference)."""
+    cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
+                           batch_size=1)
+    batch = make_fake_batch(cfg, seed=0, n_objects=8)
+    rng = np.random.default_rng(3)
+    k = 8
+    xs = np.linspace(8, 22, k) * np.where(np.arange(k) % 2, 1.0, -1.0)
+    batch['gt_boxes'][0, :k, 0] = xs
+    batch['gt_boxes'][0, :k, 1] = 0.2 * np.abs(xs) * rng.uniform(-1, 1, k)
+    batch['gt_boxes'][0, :k, 2] = 0.0
+    loss, res = _overfit_and_score(cfg, n_steps=400, lr=1e-3, batch=batch)
+    assert res['ap_auc'] > 0.9, (loss, res)
+    assert res['recall_2d'] > 0.9
+
+
 @pytest.mark.slow
 def test_overfit_one_batch_reaches_full_map():
     cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
@@ -39,7 +90,7 @@ def test_overfit_one_batch_reaches_full_map():
         state, m = step(state, batch, rng)
     assert float(m['train_loss']) < 1.0
 
-    _, (boxes, scores, labels, valid) = make_eval_step(cfg, model)(state, batch)
+    _, (boxes, scores, labels, valid), _ = make_eval_step(cfg, model)(state, batch)
     calc = MAPCalculator()
     gts, preds = [], []
     for i in range(2):

@@ -15,7 +15,8 @@ from mm_training_tpu.models import BEVDepthLiDAR
 from mm_training_tpu.training.optim import make_optimizer
 from mm_training_tpu.training.train_step import (create_train_state,
                                                  make_eval_step,
-                                                 make_train_step)
+                                                 make_train_step,
+                                                 make_train_step_multi)
 
 
 def _setup(cfg):
@@ -65,11 +66,45 @@ def test_train_step_runs_and_learns(modalities):
     assert int(state2.step) == 2
 
 
+def test_multi_step_matches_sequential_steps():
+    """K-step scan dispatch (steps_per_dispatch) must reproduce K sequential
+    single-step dispatches bit-for-bit: same rng folds (keyed on state.step),
+    same updates."""
+    cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True)
+    model, tx, state, batch = _setup(cfg)
+    batch2 = {k: jnp.asarray(v) for k, v in
+              make_fake_batch(cfg, seed=1).items()}
+
+    snap = jax.tree_util.tree_map(np.asarray, state)
+    rng = jax.random.PRNGKey(7)
+
+    step = make_train_step(cfg, model, tx)
+    s_seq, m1 = step(state, batch, rng)
+    s_seq, m2 = step(s_seq, batch2, rng)
+
+    stacked = {k: jnp.stack([batch[k], batch2[k]]) for k in batch}
+    state_b = jax.tree_util.tree_map(jnp.asarray, snap)
+    multi = make_train_step_multi(cfg, model, tx, k=2)
+    s_multi, mm = multi(state_b, stacked, rng)
+
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    np.testing.assert_allclose(
+        float(mm['train_loss']),
+        (float(m1['train_loss']) + float(m2['train_loss'])) / 2, rtol=1e-6)
+    # params: scan-body vs standalone-jit compilations reorder float ops, and
+    # Adam's m/sqrt(v) amplifies that to ~5e-5 at step 1-2 — semantics (rng
+    # folds, batch order, loss values) are pinned by the loss check above
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-3, atol=5e-4),
+        s_multi.params, s_seq.params)
+
+
 def test_eval_step_decodes_fixed_shapes():
     cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True)
     model, tx, state, batch = _setup(cfg)
     eval_step = make_eval_step(cfg, model)
-    metrics, (boxes, scores, labels, valid) = eval_step(state, batch)
+    metrics, (boxes, scores, labels, valid), viz = eval_step(state, batch)
     assert np.isfinite(float(metrics['detection_loss']))
     n_tasks = len(cfg.get_head_conf().tasks)
     cap = cfg.get_head_conf().test_cfg.post_max_size * n_tasks

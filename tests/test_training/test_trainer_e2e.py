@@ -1,0 +1,108 @@
+"""Trainer end-to-end on the synthetic aiMotive tree (CPU mesh).
+
+Covers the runtime wiring the unit tests can't: fit() with K-step dispatch
+(Config.steps_per_dispatch), per-epoch validation with BEV mAP, per-ODD eval
+(test_all_odds — the reference's eval_*.py config matrix), TTA eval
+(use_tta), checkpoint latest/restore, and the eval artifacts (aiMotive-JSON
+export + PR curves + image panels)."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mm_training_tpu.configs import tiny_test_config
+from mm_training_tpu.data.synthetic import generate_synthetic_dataset
+from mm_training_tpu.parallel import make_mesh
+from mm_training_tpu.training.trainer import Trainer
+
+
+def _trainer(cfg, root):
+    # 1-device mesh: the synthetic fixture is tiny; multi-device numerics
+    # are pinned by tests/test_parallel/test_dp_equivalence.py
+    return Trainer(cfg, data_root=root, mesh=make_mesh(jax.devices()[:1]))
+
+
+@pytest.fixture(scope='module')
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('aim_e2e'))
+    generate_synthetic_dataset(root, splits=('train', 'val'),
+                               odds=('highway', 'urban'),
+                               sequences_per_odd=1, frames_per_sequence=2,
+                               img_hw=(64, 128))
+    return root
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(use_cam=False, use_lidar=True, use_radar=True, batch_size=1,
+                num_sanity_val_steps=0, out_path=str(tmp_path / 'out'),
+                num_workers=2, latest_every_n_steps=2)
+    base.update(kw)
+    return tiny_test_config(**base)
+
+
+def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
+    cfg = _cfg(tmp_path, steps_per_dispatch=2)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    # 2 epochs: catches state leaking between epochs (e.g. the loop variable
+    # shadowing that /verify caught on the TPU drive)
+    tr.fit(max_epochs=2)
+    # 2 odds x 1 seq x 2 frames = 4 batches/epoch -> 2 dispatches, 4 steps
+    assert tr.global_step == 8
+    # periodic 'latest' checkpoint fired across the K-step boundary
+    assert (tr.out_path / 'saved_models' / 'latest').is_dir()
+    # per-epoch validation ran and produced losses + BEV mAP metrics
+    val = tr.validate(max_batches=4)
+    assert 'val_detection_loss' in val and np.isfinite(val['val_detection_loss'])
+    assert 'val_ap_auc' in val
+
+    # test(): aiMotive-JSON export + PR curves under out_path
+    tr.test(max_batches=2)
+    out_jsons = list((tr.out_path / 'outputs').rglob('*.json'))
+    assert out_jsons, 'aiMotive-format result JSONs must be exported'
+    with open(out_jsons[0]) as f:
+        assert 'CapturedObjects' in json.load(f)
+    pr = tr.out_path / 'metrics' / 'test' / 'pr_curves.json'
+    assert pr.is_file() and pr.stat().st_size > 0
+
+    # config snapshot (create_trainer parity, mm_training_aim.py:582-583)
+    assert (tr.out_path / 'config.json').is_file()
+
+    # resume from 'latest': a fresh trainer continues at the same step
+    tr2 = _trainer(_cfg(tmp_path, steps_per_dispatch=2), synth_root)
+    tr2.setup()
+    tr2.init_state(next(iter(tr2.loader('train'))))
+    tr2.restore(str(tr.out_path / 'saved_models' / 'latest'))
+    assert tr2.global_step in (2, 4)  # whichever 'latest' save ran last
+
+
+def test_per_odd_eval_matrix(synth_root, tmp_path):
+    cfg = _cfg(tmp_path)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.init_state(next(iter(tr.loader('val'))))
+    res = tr.test_all_odds(odds=('highway', 'urban', 'night'), max_batches=1)
+    # night does not exist in the fixture -> skipped; the two real ODDs ran
+    assert set(res.keys()) == {'highway', 'urban'}
+    for odd, metrics in res.items():
+        assert f'test_{odd}_detection_loss' in metrics
+
+
+def test_tta_eval_runs(synth_root, tmp_path):
+    cfg = _cfg(tmp_path, use_tta=True)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.init_state(next(iter(tr.loader('val'))))
+    out = tr.validate(max_batches=1)
+    assert np.isfinite(out['val_detection_loss'])
+
+
+def test_restore_raises_on_missing_path(synth_root, tmp_path):
+    cfg = _cfg(tmp_path)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.init_state(next(iter(tr.loader('val'))))
+    with pytest.raises(FileNotFoundError):
+        tr.restore(str(tmp_path / 'no_such_ckpt'))

@@ -21,9 +21,13 @@ def test_tta_shapes_and_decode():
     variables = jax.jit(model.init, static_argnums=(3,))(
         jax.random.PRNGKey(0), batch, None, False)
 
-    plain, _, _, _ = model.apply(variables, batch, None, False)
-    tta = tta_forward(cfg, model, variables, batch, None)
+    plain, plain_depth, _, _ = model.apply(variables, batch, None, False)
+    tta, tta_depth = tta_forward(cfg, model, variables, batch, None)
 
+    # the identity branch's depth_pred rides along (no 5th forward needed)
+    if plain_depth is not None:
+        np.testing.assert_allclose(np.asarray(tta_depth),
+                                   np.asarray(plain_depth))
     assert len(tta) == len(plain)
     for p, t in zip(plain, tta):
         assert set(p.keys()) == set(t.keys())
