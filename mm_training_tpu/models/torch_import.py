@@ -1,14 +1,30 @@
-"""Torch-format pretrained-weight import for the flax ResNet backbone.
+"""Torch-format weight import: pretrained backbones AND full reference
+checkpoints.
 
 The reference initializes its image backbone from torchvision's
 ImageNet-pretrained ResNet-50 (conf_aim.py:60 ``pretrained='torchvision://
-resnet50'`` via mmcv). The TPU framework loads the same .pth state_dict
-(torchvision naming: conv1/bn1/layer{1..4}.{j}.conv{1..3}/bn{1..3}/
-downsample.{0,1}) and converts it into the flax ResNet's params/batch_stats
-trees (models/resnet.py naming: stem + layer{i}_{j}/ConvBN_{k}).
+resnet50'`` via mmcv), and ships four trained checkpoints (README.md:65-72)
+whose state_dicts follow the mmdet/mmdet3d naming of its modules:
 
-Conv kernels transpose OIHW -> HWIO; BN weight/bias -> scale/bias and
-running_mean/var -> batch_stats mean/var.
+  model.backbone.img_backbone.*   mmdet ResNet-50 (lss_fpn.py:293)
+  model.backbone.img_neck.*       SECONDFPN 'deblocks.{i}.{0,1}' (lss_fpn.py:294)
+  model.backbone.depth_net.*      DepthNet (lss_fpn.py:160-248)
+  model.head.trunk.*              mmdet ResNet-18 BEV trunk (bev_depth_head.py:75)
+  model.head.neck.*               SECONDFPN (bev_depth_head.py:77)
+  model.head.shared_conv.*        ConvModule (mmdet3d CenterHead)
+  model.head.task_heads.{t}.*     SeparateHead branches
+  model.bev_fuse.*                BEVFuseLayer (models/bev_depth.py:133-145)
+  model.lidar_encoder.*           spconv SparseEncoder — NOT converted: the
+                                  TPU lidar encoder is architecturally
+                                  different by design (models/lidar_encoder.py)
+
+Each converter maps one torch module family into the flax params/batch_stats
+trees of the corresponding module here. Conv kernels transpose OIHW -> HWIO
+(ConvTranspose: IOHW -> HWIO with a spatial flip — flax's conv_transpose does
+not mirror the kernel, torch's does); BN weight/bias -> scale/bias and
+running_mean/var -> batch_stats mean/var; a torch conv bias feeding a
+bias-free ConvBN is folded into the BN running_mean (exact: batchnorm is
+shift-invariant).
 """
 from __future__ import annotations
 
@@ -16,8 +32,11 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ['convert_torchvision_resnet', 'load_torch_state_dict',
-           'merge_pretrained_backbone']
+__all__ = ['convert_torchvision_resnet', 'convert_mmdet_resnet',
+           'convert_second_fpn', 'convert_depth_net', 'convert_separate_head',
+           'convert_bev_head', 'convert_fuse_layer',
+           'convert_reference_checkpoint', 'load_torch_state_dict',
+           'merge_pretrained_backbone', 'merge_subtree']
 
 _STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
                  101: (3, 4, 23, 3)}
@@ -57,17 +76,20 @@ def _convbn(sd, conv_name, bn_name):
             {'BatchNorm_0': bn_s})
 
 
-def convert_torchvision_resnet(state_dict: Dict[str, np.ndarray],
-                               depth: int = 50
-                               ) -> Tuple[Dict, Dict]:
-    """torchvision-named state_dict -> (params, batch_stats) pytrees for
-    models.resnet.ResNet(depth, num_stages=4)."""
-    sd = state_dict
+def convert_mmdet_resnet(state_dict: Dict[str, np.ndarray], depth: int = 50,
+                         num_stages: int = 4, prefix: str = ''
+                         ) -> Tuple[Dict, Dict]:
+    """mmdet/torchvision-named ResNet state_dict (conv1/bn1/layer{i}.{j}) ->
+    (params, batch_stats) for models.resnet.ResNet(depth, num_stages).
+    Covers both the image backbone (depth 50) and the BEV trunk (depth 18,
+    3 stages, conf_aim.py:100-110) — mmdet keeps torchvision naming."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
     params, stats = {}, {}
     params['stem'], stats['stem'] = _convbn(sd, 'conv1', 'bn1')
 
     n_convs = 3 if depth in _BOTTLENECK else 2
-    for i, blocks in enumerate(_STAGE_BLOCKS[depth], start=1):
+    for i, blocks in enumerate(_STAGE_BLOCKS[depth][:num_stages], start=1):
         for j in range(blocks):
             p, s = {}, {}
             for c in range(n_convs):
@@ -83,11 +105,238 @@ def convert_torchvision_resnet(state_dict: Dict[str, np.ndarray],
     return params, stats
 
 
-def merge_pretrained_backbone(variables: Dict, pretrained: Tuple[Dict, Dict],
-                              scope: str = 'backbone/img_backbone') -> Dict:
+def convert_torchvision_resnet(state_dict: Dict[str, np.ndarray],
+                               depth: int = 50) -> Tuple[Dict, Dict]:
+    """torchvision-named state_dict -> trees for ResNet(depth, num_stages=4)."""
+    return convert_mmdet_resnet(state_dict, depth=depth, num_stages=4)
+
+
+def _deconv(sd, name):
+    """torch ConvTranspose2d weight [I, O, kH, kW] -> flax ConvTranspose
+    kernel [kH, kW, I, O]. flax's lax.conv_transpose does NOT mirror the
+    kernel while torch's transposed conv does, so flip both spatial axes."""
+    w = np.transpose(sd[f'{name}.weight'], (2, 3, 0, 1))
+    return w[::-1, ::-1].copy()
+
+
+def convert_second_fpn(state_dict: Dict[str, np.ndarray],
+                       upsample_strides, prefix: str = ''
+                       ) -> Tuple[Dict, Dict]:
+    """mmdet3d SECONDFPN ('deblocks.{i}.0' conv/deconv + '.1' BN) ->
+    models.second_fpn.SECONDFPN trees (deblock{i}_conv / deblock{i}_bn)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params, stats = {}, {}
+    for i, us in enumerate(upsample_strides):
+        if us >= 1:
+            kernel = _deconv(sd, f'deblocks.{i}.0')
+        else:
+            kernel = _conv(sd, f'deblocks.{i}.0')
+        params[f'deblock{i}_conv'] = {'kernel': kernel}
+        bn_p, bn_s = _bn(sd, f'deblocks.{i}.1')
+        params[f'deblock{i}_bn'] = bn_p
+        stats[f'deblock{i}_bn'] = bn_s
+    return params, stats
+
+
+def _fold_bias_into_bn(stats_entry: Dict, bias: np.ndarray) -> Dict:
+    """BatchNorm is shift-invariant: BN(x + b) == BN'(x) with the running
+    mean shifted by -b. Folds a torch conv bias into the following BN so it
+    can feed our bias-free ConvBN exactly (eval mode; train-mode batch
+    statistics are unaffected by a constant shift)."""
+    out = dict(stats_entry)
+    out['mean'] = stats_entry['mean'] - bias
+    return out
+
+
+def _convbn_maybe_bias(sd, conv_name, bn_name):
+    """Like _convbn but folds an optional torch conv bias into the BN."""
+    p, s = _convbn(sd, conv_name, bn_name)
+    if f'{conv_name}.bias' in sd:
+        s['BatchNorm_0'] = _fold_bias_into_bn(s['BatchNorm_0'],
+                                              sd[f'{conv_name}.bias'])
+    return p, s
+
+
+def _basic_block(sd, prefix):
+    """mmdet BasicBlock (conv1/bn1/conv2/bn2[/downsample]) ->
+    models.resnet.BasicBlock (ConvBN_0/ConvBN_1[/ConvBN_2])."""
+    p, s = {}, {}
+    for c in (0, 1):
+        p[f'ConvBN_{c}'], s[f'ConvBN_{c}'] = _convbn(
+            sd, f'{prefix}.conv{c + 1}', f'{prefix}.bn{c + 1}')
+    if f'{prefix}.downsample.0.weight' in sd:
+        p['ConvBN_2'], s['ConvBN_2'] = _convbn(
+            sd, f'{prefix}.downsample.0', f'{prefix}.downsample.1')
+    return p, s
+
+
+def convert_depth_net(state_dict: Dict[str, np.ndarray], prefix: str = ''
+                      ) -> Tuple[Dict, Dict]:
+    """Reference DepthNet (lss_fpn.py:160-248) -> models.depth_net.DepthNet.
+
+    Mapping:
+      reduce_conv.{0,1}        -> reduce_conv (ConvBN; torch conv bias folded
+                                  into BN running_mean)
+      context_conv             -> context_conv
+      depth_conv.{0,1,2}       -> depth_block{0,1,2} (mmdet BasicBlocks)
+      depth_conv.3 (ASPP)      -> aspp: aspp{1..4} -> ConvBN_{0..3},
+                                  global_avg_pool.{1,2} -> ConvBN_4,
+                                  conv1+bn1 -> ConvBN_5
+      depth_conv.4 (mmcv DCN)  -> dcn: weight [O,I/g,3,3] -> kernel
+                                  [9,g,I/g,O/g] (+ zero bias; mmcv DCN has
+                                  none), conv_offset kept ((dy,dx)-interleaved
+                                  offset channels match)
+      depth_conv.5             -> depth_pred
+      context_se.*             -> dropped (dead in both: the reference
+                                  instantiates but never calls it)
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params, stats = {}, {}
+    params['reduce_conv'], stats['reduce_conv'] = _convbn_maybe_bias(
+        sd, 'reduce_conv.0', 'reduce_conv.1')
+    params['context_conv'] = {'kernel': _conv(sd, 'context_conv'),
+                              'bias': sd['context_conv.bias']}
+    for i in range(3):
+        params[f'depth_block{i}'], stats[f'depth_block{i}'] = _basic_block(
+            sd, f'depth_conv.{i}')
+
+    aspp_p, aspp_s = {}, {}
+    for k, (cn, bnn) in enumerate([
+            ('depth_conv.3.aspp1.atrous_conv', 'depth_conv.3.aspp1.bn'),
+            ('depth_conv.3.aspp2.atrous_conv', 'depth_conv.3.aspp2.bn'),
+            ('depth_conv.3.aspp3.atrous_conv', 'depth_conv.3.aspp3.bn'),
+            ('depth_conv.3.aspp4.atrous_conv', 'depth_conv.3.aspp4.bn'),
+            ('depth_conv.3.global_avg_pool.1', 'depth_conv.3.global_avg_pool.2'),
+            ('depth_conv.3.conv1', 'depth_conv.3.bn1')]):
+        aspp_p[f'ConvBN_{k}'], aspp_s[f'ConvBN_{k}'] = _convbn(sd, cn, bnn)
+    params['aspp'], stats['aspp'] = aspp_p, aspp_s
+
+    if 'depth_conv.4.weight' in sd:  # DCN present (use_dcn)
+        w = sd['depth_conv.4.weight']          # [O, I/g, 3, 3]
+        o, cg = w.shape[0], w.shape[1]
+        g = 4
+        og = o // g
+        # -> [9, g, cg, og]: tap t = kh*3 + kw (row-major, matching the
+        # DeformConv2d base-offset meshgrid)
+        k = np.transpose(w.reshape(g, og, cg, 3, 3), (3, 4, 0, 2, 1))
+        k = k.reshape(9, g, cg, og)
+        params['dcn'] = {
+            'kernel': k,
+            'bias': np.zeros((o,), w.dtype),   # mmcv DCN is bias-free
+            'conv_offset': {
+                'kernel': _conv(sd, 'depth_conv.4.conv_offset'),
+                'bias': sd['depth_conv.4.conv_offset.bias'],
+            },
+        }
+    params['depth_pred'] = {'kernel': _conv(sd, 'depth_conv.5'),
+                            'bias': sd['depth_conv.5.bias']}
+    return params, stats
+
+
+def convert_separate_head(state_dict: Dict[str, np.ndarray], heads,
+                          prefix: str = '') -> Tuple[Dict, Dict]:
+    """mmdet3d SeparateHead ('{name}.{i}.conv/bn' ConvModules + final conv)
+    -> models.centerpoint_head.SeparateHead ({name}_conv{i}/{name}_bn{i}/
+    {name}_final). heads: iterable of (name, (out_ch, num_conv))."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params, stats = {}, {}
+    for name, (_, num_conv) in heads:
+        for i in range(num_conv - 1):
+            params[f'{name}_conv{i}'] = {
+                'kernel': _conv(sd, f'{name}.{i}.conv'),
+                # mmdet3d ConvModule(bias='auto') drops the conv bias under
+                # BN; flax Conv keeps one — zero is exact
+                'bias': np.zeros(sd[f'{name}.{i}.conv.weight'].shape[0],
+                                 sd[f'{name}.{i}.conv.weight'].dtype),
+            }
+            bn_p, bn_s = _bn(sd, f'{name}.{i}.bn')
+            params[f'{name}_bn{i}'] = bn_p
+            stats[f'{name}_bn{i}'] = bn_s
+        f = num_conv - 1
+        params[f'{name}_final'] = {'kernel': _conv(sd, f'{name}.{f}'),
+                                   'bias': sd[f'{name}.{f}.bias']}
+    return params, stats
+
+
+def convert_bev_head(state_dict: Dict[str, np.ndarray], head_conf,
+                     prefix: str = '') -> Tuple[Dict, Dict]:
+    """Reference BEVDepthHead (bev_depth_head.py:31-111) ->
+    models.centerpoint_head.BEVDepthHead trees."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params, stats = {}, {}
+    bb = head_conf.bev_backbone_conf
+    params['trunk'], stats['trunk'] = convert_mmdet_resnet(
+        sd, depth=18, num_stages=bb.num_stages, prefix='trunk.')
+    params['neck'], stats['neck'] = convert_second_fpn(
+        sd, head_conf.bev_neck_conf.upsample_strides, prefix='neck.')
+    params['shared_conv'], stats['shared_conv'] = _convbn_maybe_bias(
+        sd, 'shared_conv.conv', 'shared_conv.bn')
+    for t, task in enumerate(head_conf.tasks):
+        heads = tuple(head_conf.common_heads) + (
+            ('heatmap', (task.num_class, 2)),)
+        params[f'task{t}'], stats[f'task{t}'] = convert_separate_head(
+            sd, heads, prefix=f'task_heads.{t}.')
+    return params, stats
+
+
+def convert_fuse_layer(state_dict: Dict[str, np.ndarray], prefix: str = ''
+                       ) -> Dict:
+    """BEVFuseLayer (models/bev_depth.py:133-145) -> models.fusion
+    .BEVFuseLayer params (conv_3 / conv_1, both biased, no BN)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    return {'conv_3': {'kernel': _conv(sd, 'conv_3'),
+                       'bias': sd['conv_3.bias']},
+            'conv_1': {'kernel': _conv(sd, 'conv_1'),
+                       'bias': sd['conv_1.bias']}}
+
+
+def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg
+                                 ) -> Tuple[Dict, Dict]:
+    """Full reference checkpoint -> (params, batch_stats) trees covering
+    every shared-architecture module of BEVDepthLiDAR: the LSSFPN camera
+    branch (img_backbone / img_neck / depth_net), the head, and the fuse
+    layer. The lidar encoder is intentionally absent (architecturally
+    different on TPU; retrain or distill — see models/lidar_encoder.py).
+
+    state_dict keys may carry the Lightning 'model.' prefix
+    (load_torch_state_dict strips it)."""
+    sd = state_dict
+    params, stats = {}, {}
+    if cfg.use_cam:
+        bb = cfg.get_backbone_conf()
+        bk_p, bk_s = {}, {}
+        bk_p['img_backbone'], bk_s['img_backbone'] = convert_mmdet_resnet(
+            sd, depth=bb.img_backbone_conf.depth, num_stages=4,
+            prefix='backbone.img_backbone.')
+        bk_p['img_neck'], bk_s['img_neck'] = convert_second_fpn(
+            sd, bb.img_neck_conf.upsample_strides,
+            prefix='backbone.img_neck.')
+        bk_p['depth_net'], bk_s['depth_net'] = convert_depth_net(
+            sd, prefix='backbone.depth_net.')
+        params['backbone'], stats['backbone'] = bk_p, bk_s
+    params['head'], stats['head'] = convert_bev_head(
+        sd, cfg.get_head_conf(), prefix='head.')
+    if cfg.use_cam and cfg.use_lidar and any(
+            k.startswith('bev_fuse.') for k in sd):
+        params['bev_fuse'] = convert_fuse_layer(sd, prefix='bev_fuse.')
+    return params, stats
+
+
+def merge_subtree(variables: Dict, params: Dict, stats: Dict,
+                  scope: str = '') -> Dict:
     """Graft converted (params, batch_stats) into a model's variables at
-    ``scope`` (path into both collections, '/'-separated). Shapes are
-    checked leaf-by-leaf."""
+    ``scope`` ('' = the whole model). Shape-checked leaf-by-leaf."""
+    return _merge(variables, (params, stats), scope)
+
+
+def _merge(variables: Dict, pretrained: Tuple[Dict, Dict],
+           scope: str) -> Dict:
+    import flax
     import jax
 
     p_new, s_new = pretrained
@@ -103,14 +352,22 @@ def merge_pretrained_backbone(variables: Dict, pretrained: Tuple[Dict, Dict],
                     f'{path}/{k}: {old.shape} vs {v.shape}')
                 dst[k] = np.asarray(v, dtype=np.asarray(old).dtype)
 
-    import flax
     out = flax.core.unfreeze(out) if hasattr(flax.core, 'unfreeze') else out
     node_p = out['params']
     node_s = out.get('batch_stats', {})
-    for part in scope.split('/'):
+    parts = [p for p in scope.split('/') if p]
+    for part in parts:
         node_p = node_p[part]
         node_s = node_s[part] if node_s else node_s
     graft(node_p, p_new, scope)
-    if node_s:
+    if node_s and s_new:
         graft(node_s, s_new, scope)
     return out
+
+
+def merge_pretrained_backbone(variables: Dict, pretrained: Tuple[Dict, Dict],
+                              scope: str = 'backbone/img_backbone') -> Dict:
+    """Graft converted (params, batch_stats) into a model's variables at
+    ``scope`` (path into both collections, '/'-separated). Shapes are
+    checked leaf-by-leaf."""
+    return _merge(variables, pretrained, scope)
