@@ -78,6 +78,7 @@ class AiMotiveDataset:
                  eval_odd: Optional[str] = None, retries: int = 30):
         self.cfg = cfg
         self.split = split
+        self.root_dir = root_dir
         self.retries = retries
         odd = eval_odd if eval_odd is not None else (cfg.eval_split or 'all')
         self.dataset_index = get_frames(root_dir, split, cfg.look_back,
@@ -86,6 +87,7 @@ class AiMotiveDataset:
         self.frame_loader = FrameLoader(
             split, cfg.point_cloud_range, cfg.use_cam, cfg.use_lidar,
             cfg.use_radar, cfg.look_back, cfg.look_forward,
+            virtualize_fisheyes=cfg.virtualize_fisheyes,
             image_size=cfg.final_dim,
             defer_processing=True)  # fused into the native packer below
         self.epoch = 0
@@ -171,8 +173,29 @@ class AiMotiveDataset:
             sample['intrin'] = np.eye(4, dtype=np.float32)[None, None]
             sample['extrinsics'] = np.eye(4, dtype=np.float32)[None, None]
 
+        if cfg.use_cam and cfg.depth_gt_root:
+            sample['depth_gt'] = self._load_depth_gt(frame.path)
+
         sample['path'] = frame.path  # host metadata, stripped before device put
         return sample
+
+    def _load_depth_gt(self, frame_path: str) -> np.ndarray:
+        """Read the precomputed per-camera min-depth grids written by
+        scripts/gen_depth_gt.py ([N, H/16, W/16] float32, 0 = empty)."""
+        cfg = self.cfg
+        rel = os.path.relpath(frame_path, self.root_dir)
+        path = os.path.join(cfg.depth_gt_root,
+                            os.path.splitext(rel)[0] + '_depth.npy')
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f'depth_gt_root is set but {path} is missing — run '
+                'mm_training_tpu.scripts.gen_depth_gt first')
+        grids = np.asarray(np.load(path), np.float32)
+        n = cfg.num_cameras
+        if grids.shape[0] < n:  # pad missing cameras with empty grids
+            pad = np.zeros((n - grids.shape[0],) + grids.shape[1:], np.float32)
+            grids = np.concatenate([grids, pad], 0)
+        return grids[:n]
 
 
 def collate_aim(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

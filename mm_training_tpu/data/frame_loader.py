@@ -78,7 +78,8 @@ class FrameLoader:
         ann = Annotation(path)
         lidar = load_lidar_data(data_folder, frame_id, self.look_back,
                                 self.look_forward)
-        camera_data = load_camera_data(data_folder, frame_id, self.use_cam)
+        camera_data = load_camera_data(data_folder, frame_id, self.use_cam,
+                                       read_fisheyes=self.virtualize_fisheyes)
 
         if self.use_radar:
             from .native import concat_filter_native

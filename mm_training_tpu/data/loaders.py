@@ -97,8 +97,11 @@ def _read_image(path: str) -> Optional[np.ndarray]:
     return np.asarray(Image.open(path))[..., ::-1].copy()  # match cv2 BGR
 
 
-def load_camera_data(data_folder: str, frame_id: str, use_cam: bool) -> CameraData:
-    """Front + back images (fisheyes skipped per reference), calibration, and
+def load_camera_data(data_folder: str, frame_id: str, use_cam: bool,
+                     read_fisheyes: bool = False) -> CameraData:
+    """Front + back images (fisheyes skipped by default, matching the
+    reference's commented-out imreads, camera_loader.py:114; pass
+    ``read_fisheyes`` to load them for virtualization), calibration, and
     the host timestamp (camera_loader.py:92-121)."""
     cam_base = os.path.join(data_folder, 'sensor', 'camera')
     cam_names = os.listdir(cam_base)
@@ -117,7 +120,12 @@ def load_camera_data(data_folder: str, frame_id: str, use_cam: bool) -> CameraDa
              CameraFrame('back_cam', back_img, params['B_MIDRANGECAM_C'])]
     for name, key in (('left_cam', 'M_FISHEYE_L'), ('right_cam', 'M_FISHEYE_R')):
         if key in params:
-            items.append(CameraFrame(name, None, params[key]))
+            img = None
+            if read_fisheyes and use_cam:
+                fpath = os.path.join(cam_base, key, f'{key}_{frame_id}.jpg')
+                if os.path.isfile(fpath):
+                    img = _read_image(fpath)
+            items.append(CameraFrame(name, img, params[key]))
     return CameraData(items=items, timestamp=float(timestamp))
 
 

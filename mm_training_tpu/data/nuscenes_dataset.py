@@ -15,9 +15,14 @@ dataset families. Differences from the reference, by design:
   * samples are padded to fixed shapes (max_objs; zero cameras padded) for
     XLA.
 
-Depth ground truth comes from the lidar top points when the per-frame
-lidar file is available, else from precomputed depth-GT files
-(scripts/gen_depth_gt.py), else zeros.
+Depth ground truth: the LIDAR_TOP frame (plus egomotion-compensated sweeps,
+nusc_mv_det_dataset.py:506-535) is loaded into the padded 'points' array, so
+the train step's on-device projection produces real depth labels
+(mm_training_aim.py's get_depth_labels equivalent); with
+``Config.depth_gt_root`` set, precomputed grids are shipped instead
+(nusc_mv_det_dataset.py:387-396 parity). Missing lidar files yield an empty
+(masked-out) cloud — camera-only training then has a degenerate depth loss,
+matching the reference when its depth files are absent.
 """
 from __future__ import annotations
 
@@ -159,6 +164,52 @@ class NuscMVDetDataset:
                 img = img[:, ::-1]
         return img
 
+    # ----------------------------------------------------------------- lidar
+    def _load_lidar_points(self, info, rng) -> np.ndarray:
+        """Key LIDAR_TOP frame + sweeps -> ego-frame points [P, 5|8].
+
+        nuScenes .bin files are float32 [x, y, z, intensity, ring]; sweeps
+        are motion-compensated into the key frame's ego pose
+        (nusc_mv_det_dataset.py:506-535). Feature layout mirrors the
+        aiMotive loader: [x, y, z, is_radar=0, speed=0(, power=0,
+        intensity/255, ts_lag_s)]."""
+        cfg = self.cfg
+        li = info.get('lidar_infos', {}).get('LIDAR_TOP')
+        n_feat = 8 if cfg.use_radar else 5
+        if li is None:
+            return np.zeros((0, n_feat), np.float32)
+        key_ego_inv = np.linalg.inv(_pose_to_mat(li['ego_pose']))
+        key_ts = li.get('timestamp', 0)
+        clouds = []
+        for rec in [li] + list(info.get('sweeps', [])):
+            path = os.path.join(self.data_root, rec['filename'])
+            if not os.path.isfile(path):
+                continue
+            raw = np.fromfile(path, np.float32).reshape(-1, 5)
+            cal = rec['calibrated_sensor']
+            s2e = np.eye(4)
+            s2e[:3, :3] = _quat_to_mat(cal['rotation'])
+            s2e[:3, 3] = cal['translation']
+            t = key_ego_inv @ _pose_to_mat(rec['ego_pose']) @ s2e
+            xyz = raw[:, :3] @ t[:3, :3].T + t[:3, 3]
+            out = np.zeros((len(raw), n_feat), np.float32)
+            out[:, :3] = xyz
+            if n_feat == 8:
+                out[:, 6] = raw[:, 3] / 255.0
+                out[:, 7] = (key_ts - rec.get('timestamp', key_ts)) * 1e-6
+            clouds.append(out)
+        if not clouds:
+            return np.zeros((0, n_feat), np.float32)
+        pts = np.concatenate(clouds, 0)
+        pc = cfg.point_cloud_range
+        keep = ((pts[:, 0] >= pc[0]) & (pts[:, 0] <= pc[3])
+                & (pts[:, 1] >= pc[1]) & (pts[:, 1] <= pc[4])
+                & (pts[:, 2] >= pc[2]) & (pts[:, 2] <= pc[5]))
+        pts = pts[keep]
+        if len(pts) > cfg.max_points:
+            pts = pts[rng.choice(len(pts), cfg.max_points, replace=False)]
+        return pts
+
     # ------------------------------------------------------------------ item
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -231,10 +282,23 @@ class NuscMVDetDataset:
             gt_labels[:k] = boxes[:k, 9].astype(np.int32)
             gt_mask[:k] = True
 
+        # real lidar points (key frame + sweeps), BDA-rotated like the
+        # aiMotive host pipeline (aimotive_dataset.py:152) — the train step
+        # un-rotates before projecting depth labels
+        raw_pts = self._load_lidar_points(info, rng)
         n_feat = 8 if cfg.use_radar else 5
+        points = np.zeros((cfg.max_points, n_feat), np.float32)
+        point_mask = np.zeros((cfg.max_points,), bool)
+        p = min(len(raw_pts), cfg.max_points)
+        if p:
+            pts = raw_pts[:p].copy()
+            pts[:, :3] = pts[:, :3] @ bda_rot.T
+            points[:p] = pts
+            point_mask[:p] = True
+
         sample = {
-            'points': np.zeros((cfg.max_points, n_feat), np.float32),
-            'point_mask': np.zeros((cfg.max_points,), bool),
+            'points': points,
+            'point_mask': point_mask,
             'gt_boxes': gt_boxes, 'gt_labels': gt_labels, 'gt_mask': gt_mask,
             'bda_mat': bda_mat,
             'cam_ts': np.float32(0.0),

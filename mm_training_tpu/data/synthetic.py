@@ -32,36 +32,52 @@ _SIZES = {  # dx, dy, dz
 }
 
 
-def _calibration_dict(img_hw=(704, 1280)) -> dict:
+def _calibration_dict(img_hw=(704, 1280), fisheyes: bool = False) -> dict:
     h, w = img_hw
     f = 0.9 * w
-    front_rt = np.eye(4)
-    # body (x fwd, y left, z up) -> optical (z fwd, x right, y down)
-    front_rt[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
-    front_rt[:3, 3] = [0.0, 0.1, -1.4]
-    back_rt = np.eye(4)
-    back_rt[:3, :3] = np.array([[0, 1, 0], [0, 0, -1], [-1, 0, 0]], float)
-    back_rt[:3, 3] = [0.0, -0.1, -1.4]
+    # body (x fwd, y left, z up) -> optical (z fwd, x right, y down), at yaw
+    opt = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+
+    def cam_rt(yaw_deg: float, t):
+        c, s = np.cos(np.radians(yaw_deg)), np.sin(np.radians(yaw_deg))
+        rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], float)
+        rt = np.eye(4)
+        rt[:3, :3] = opt @ rz.T
+        rt[:3, 3] = t
+        return rt
+
     f_lrr = np.eye(4); f_lrr[:3, 3] = [-2.0, 0, -0.5]
     b_lrr = np.eye(4)
     b_lrr[:3, :3] = np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], float)
     b_lrr[:3, 3] = [2.0, 0, -0.5]
-    return {
+    cali = {
         'F_MIDLONGRANGECAM_CL': {
             'model': 'opencv_pinhole',
             'focal_length_px': [f, f], 'principal_point_px': [w / 2, h / 2],
             'distortion_coeffs': [0.0] * 5,
-            'RT_sensor_from_body': front_rt.tolist(),
+            'RT_sensor_from_body': cam_rt(0.0, [0.0, 0.1, -1.4]).tolist(),
         },
         'B_MIDRANGECAM_C': {
             'model': 'opencv_pinhole',
             'focal_length_px': [f, f], 'principal_point_px': [w / 2, h / 2],
             'distortion_coeffs': [0.0] * 5,
-            'RT_sensor_from_body': back_rt.tolist(),
+            'RT_sensor_from_body': cam_rt(180.0, [0.0, -0.1, -1.4]).tolist(),
         },
         'F_LRR_C': {'RT_sensor_from_body': f_lrr.tolist()},
         'B_LRR_C': {'RT_sensor_from_body': b_lrr.tolist()},
     }
+    if fisheyes:  # Mei unit-sphere omni cameras looking left/right
+        ff = w / 3.0
+        for key, yaw, ty in (('M_FISHEYE_L', 90.0, 1.0),
+                             ('M_FISHEYE_R', -90.0, -1.0)):
+            cali[key] = {
+                'model': 'mei', 'xi': 0.9,
+                'focal_length_px': [ff, ff],
+                'principal_point_px': [w / 2, h / 2],
+                'distortion_coeffs': [0.0] * 5,
+                'RT_sensor_from_body': cam_rt(yaw, [0.0, ty, -1.0]).tolist(),
+            }
+    return cali
 
 
 def _scene_objects(rng: np.random.Generator, n_objects: int, x_range=150.0):
@@ -163,8 +179,12 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                                n_objects: int = 6,
                                img_hw=(704, 1280),
                                seed: int = 0,
-                               write_images: bool = True) -> str:
-    """Write a synthetic dataset tree under ``root`` and return it."""
+                               write_images: bool = True,
+                               fisheyes: bool = False) -> str:
+    """Write a synthetic dataset tree under ``root`` and return it. With
+    ``fisheyes``, two Mei omni cameras (M_FISHEYE_L/R at yaw +-90) get
+    calibrations + images so FrameLoader(virtualize_fisheyes=True) can be
+    exercised end-to-end."""
     rng = np.random.default_rng(seed)
     for split in splits:
         for odd in odds:
@@ -178,12 +198,16 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                 cam_back = os.path.join(seq, 'sensor', 'camera', 'B_MIDRANGECAM_C')
                 radar_f = os.path.join(seq, 'sensor', 'radar', 'F_LRR_C')
                 radar_b = os.path.join(seq, 'sensor', 'radar', 'B_LRR_C')
+                fish_dirs = {
+                    key: os.path.join(seq, 'sensor', 'camera', key)
+                    for key in (('M_FISHEYE_L', 'M_FISHEYE_R') if fisheyes
+                                else ())}
                 for d in (ann_dir, lid_dir, cali_dir, gnss_dir, cam_front,
-                          cam_back, radar_f, radar_b):
+                          cam_back, radar_f, radar_b, *fish_dirs.values()):
                     os.makedirs(d, exist_ok=True)
 
                 with open(os.path.join(cali_dir, 'calibration.json'), 'w') as f:
-                    json.dump(_calibration_dict(img_hw), f)
+                    json.dump(_calibration_dict(img_hw, fisheyes), f)
 
                 egomotion, sync = {}, {}
                 for fi in range(1, frames_per_sequence + 1):
@@ -206,6 +230,9 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                             cam_front, f'F_MIDLONGRANGECAM_CL_{fid}.jpg'), rng, img_hw)
                         _write_image(os.path.join(
                             cam_back, f'B_MIDRANGECAM_C_{fid}.jpg'), rng, img_hw)
+                        for key, d in fish_dirs.items():
+                            _write_image(os.path.join(d, f'{key}_{fid}.jpg'),
+                                         rng, img_hw)
 
                 with open(os.path.join(gnss_dir, 'egomotion.json'), 'w') as f:
                     json.dump(egomotion, f)

@@ -15,6 +15,8 @@ from typing import Dict, List, Optional
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
+from ..utils import universal
+
 __all__ = ['MAPCalculator', 'evaluate_ap', 'box_iou_aabb', 'obj2arrays_bev',
            'cosine_similarity']
 
@@ -203,10 +205,11 @@ def _merge(frames: List[Dict[str, np.ndarray]]):
 def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
                 iou_th=0.3, assign_method='hunscore', val_field=None,
                 sim_func=None, val_metric_name=None, n_inter=11,
-                calc_op=True) -> Dict[str, float]:
-    """Dataset-level AP (eval.py:319-594 core path; the never-exercised
-    return_curves/save_matching branches are dropped — including the
-    ``res.update({set})`` bug they contain)."""
+                calc_op=True, return_curves=False) -> Dict[str, float]:
+    """Dataset-level AP (eval.py:319-594 core path). With ``return_curves``
+    the result carries the raw PR curve under 'curves' — unlike the
+    reference, whose return_curves branch hits the ``res.update({set})``
+    bug (eval.py:584-592) and never actually returns them."""
     gts = [dict(g) for g in gts]
     preds = [_sort_by(dict(p), 'score') for p in preds]
 
@@ -244,10 +247,18 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
     if calc_op:
         res.update({'recall_op': 0.0, 'precision_op': 0.0, 'score_op': 0.0})
 
+    if return_curves:
+        res['curves'] = {'recall': np.zeros(0, np.float32),
+                         'precision': np.zeros(0, np.float32),
+                         'score': np.zeros(0, np.float32)}
     if merged is None or len(merged['correct']) == 0:
         return res
 
     recs, precs = calc_recall_precision(merged['correct'], n_gt)
+    if return_curves:
+        res['curves'] = {'recall': recs.astype(np.float32),
+                         'precision': precs.astype(np.float32),
+                         'score': merged['score'].astype(np.float32)}
     res['recall_2d'] = float(recs[-1])
     res['precision_2d'] = float(precs[-1])
     res['ap_auc'] = calc_ap_auc(recs, precs)
@@ -297,9 +308,18 @@ class MAPCalculator:
     def update(self, gt, pred, img_names=None):
         """gt: list of [boxes [K,9], labels [K]]; pred: list of
         [boxes [K,9], scores [K], labels [K]] — the reference's
-        result_list/target_list layout (mm_training_aim.py:315-321)."""
-        self.gts.extend(gt)
-        self.preds.extend(pred)
+        result_list/target_list layout (mm_training_aim.py:315-321).
+
+        Accepts numpy or device (jax) arrays: the universal array layer
+        normalizes to host numpy here, exactly like the reference evaluator
+        runs on either torch or numpy via utils/universal (eval.py:11)."""
+        def host(frame):
+            return [universal.to_numpy(a)
+                    if universal.is_tensor_or_ndarray(a) else a
+                    for a in frame]
+
+        self.gts.extend(host(f) for f in gt)
+        self.preds.extend(host(f) for f in pred)
         self.img_names.extend(img_names or [None] * len(gt))
 
     def compute_bev(self, eval_class=None, iou_thr=0.3,
@@ -321,3 +341,74 @@ class MAPCalculator:
                           sim_func=cosine_similarity, val_metric_name='aos')
         result['aos'] = yaw['aos']
         return result
+
+    def compute_bev_curves(self, iou_thr=0.3, assign_method='hunscore',
+                           x_range=200.0, class_names=None) -> Dict[str, dict]:
+        """Overall + per-class AP with full PR curves (the reference saves
+        these plots per eval, utils/eval.py:483-499)."""
+        gts = [obj2arrays_bev(x[0], x[1], name=n, x_range=x_range)
+               for x, n in zip(self.gts, self.img_names)]
+        preds = [obj2arrays_bev(x[0], x[2], x[1], name=n, needs_score=True,
+                                x_range=x_range)
+                 for x, n in zip(self.preds, self.img_names)]
+        present = sorted({int(c) for g in gts for c in g['class']}
+                         | {int(c) for p in preds for c in p['class']})
+        out = {'all': evaluate_ap(gts, preds, iou_th=iou_thr,
+                                  assign_method=assign_method,
+                                  return_curves=True)}
+        for c in present:
+            name = (class_names[c] if class_names and c < len(class_names)
+                    else str(c))
+            out[name] = evaluate_ap(gts, preds, eval_class=c, iou_th=iou_thr,
+                                    assign_method=assign_method,
+                                    return_curves=True)
+        return out
+
+    def export_pr_curves(self, out_dir, iou_thr=0.3,
+                         assign_method='hunscore', x_range=200.0,
+                         class_names=None) -> List[str]:
+        """Write PR curves (overall + per class) under out_dir: a JSON with
+        the curve points + AP numbers, and a PNG plot per curve when
+        matplotlib is available (parity with eval.py:483-499 plot saving).
+        Returns the written file paths."""
+        import json
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        curves = self.compute_bev_curves(iou_thr=iou_thr,
+                                         assign_method=assign_method,
+                                         x_range=x_range,
+                                         class_names=class_names)
+        written = []
+        payload = {}
+        for name, res in curves.items():
+            c = res.pop('curves')
+            payload[name] = {
+                'ap_auc': res['ap_auc'], 'ap_interp': res['ap_interp'],
+                'recall': c['recall'].tolist(),
+                'precision': c['precision'].tolist(),
+                'score': c['score'].tolist(),
+            }
+        json_path = os.path.join(out_dir, 'pr_curves.json')
+        with open(json_path, 'w') as f:
+            json.dump(payload, f)
+        written.append(json_path)
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            return written
+        for name, d in payload.items():
+            name = name.replace('/', '-').replace(' ', '_')  # 'truck/bus'
+            fig, ax = plt.subplots(figsize=(5, 4))
+            ax.plot(d['recall'], d['precision'])
+            ax.set_xlabel('recall')
+            ax.set_ylabel('precision')
+            ax.set_xlim(0, 1)
+            ax.set_ylim(0, 1.05)
+            ax.set_title(f'{name}: AP(auc)={d["ap_auc"]:.3f}')
+            png = os.path.join(out_dir, f'pr_curve_{name}.png')
+            fig.savefig(png, dpi=100, bbox_inches='tight')
+            plt.close(fig)
+            written.append(png)
+        return written

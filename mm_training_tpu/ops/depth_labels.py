@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ['depth_labels_single_cam', 'depth_labels']
+__all__ = ['depth_labels_single_cam', 'depth_labels', 'depth_grid_to_onehot']
 
 _EMPTY = 1e5
 
@@ -69,6 +69,19 @@ def depth_labels_single_cam(points: jnp.ndarray, mask: jnp.ndarray,
                                num_segments=fh * fw + 1)[:fh * fw]
     grid = grid.reshape(fh, fw)
 
+    d0, _, step = d_bound
+    idx = (grid - (d0 - step)) / step
+    idx = jnp.where((idx < num_bins) & (idx >= 0.0), idx, 0.0)
+    return jax.nn.one_hot(idx.astype(jnp.int32), num_bins, dtype=jnp.float32)
+
+
+def depth_grid_to_onehot(grid: jnp.ndarray, d_bound, num_bins: int
+                         ) -> jnp.ndarray:
+    """Precomputed min-depth grid (0.0 = empty cell; the format written by
+    scripts/gen_depth_gt.py and read by the reference at
+    nusc_mv_det_dataset.py:387-396) -> one-hot labels [..., num_bins] with
+    the exact binning of the projection path above (empty cells land in bin
+    0 because d0 > step)."""
     d0, _, step = d_bound
     idx = (grid - (d0 - step)) / step
     idx = jnp.where((idx < num_bins) & (idx >= 0.0), idx, 0.0)

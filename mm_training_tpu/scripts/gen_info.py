@@ -19,7 +19,7 @@ import os
 import pickle
 
 
-def generate_info(nusc, scenes):
+def generate_info(nusc, scenes, max_sweeps: int = 0):
     infos = []
     for sample in nusc.sample:
         if nusc.get('scene', sample['scene_token'])['name'] not in scenes:
@@ -35,17 +35,27 @@ def generate_info(nusc, scenes):
         }
         for name, token in sample['data'].items():
             sd = nusc.get('sample_data', token)
-            rec = {
-                'filename': sd['filename'],
-                'ego_pose': nusc.get('ego_pose', sd['ego_pose_token']),
-                'calibrated_sensor': nusc.get('calibrated_sensor',
-                                              sd['calibrated_sensor_token']),
-                'timestamp': sd['timestamp'],
-            }
+
+            def record(s):
+                return {
+                    'filename': s['filename'],
+                    'ego_pose': nusc.get('ego_pose', s['ego_pose_token']),
+                    'calibrated_sensor': nusc.get(
+                        'calibrated_sensor', s['calibrated_sensor_token']),
+                    'timestamp': s['timestamp'],
+                }
+
+            rec = record(sd)
             if name.startswith('CAM'):
                 info['cam_infos'][name] = rec
             elif name.startswith('LIDAR'):
                 info['lidar_infos'][name] = rec
+                # non-key sweeps, newest first (nusc_mv_det_dataset.py:506-535)
+                tok = sd['prev']
+                while tok and len(info['sweeps']) < max_sweeps:
+                    sw = nusc.get('sample_data', tok)
+                    info['sweeps'].append(record(sw))
+                    tok = sw['prev']
         for ann_token in sample['anns']:
             ann = nusc.get('sample_annotation', ann_token)
             ann = dict(ann)
@@ -60,6 +70,8 @@ def main(argv=None):
     p.add_argument('--data-root', required=True)
     p.add_argument('--version', default='v1.0-trainval')
     p.add_argument('--out', default=None)
+    p.add_argument('--max-sweeps', type=int, default=0,
+                   help='non-key lidar sweeps to record per sample')
     args = p.parse_args(argv)
 
     try:
@@ -79,7 +91,7 @@ def main(argv=None):
     else:
         split_map = {'train': splits.mini_train, 'val': splits.mini_val}
     for split, scenes in split_map.items():
-        infos = generate_info(nusc, set(scenes))
+        infos = generate_info(nusc, set(scenes), max_sweeps=args.max_sweeps)
         path = os.path.join(out, f'nuscenes_infos_{split}.pkl')
         with open(path, 'wb') as f:
             pickle.dump(infos, f)

@@ -22,7 +22,8 @@ except ImportError:  # pragma: no cover
 
 from ..configs import CLASSES
 
-__all__ = ['Renderer', 'render_bev', 'draw_boxes_camera', 'box_corners_3d']
+__all__ = ['Renderer', 'render_bev', 'draw_boxes_camera', 'box_corners_3d',
+           'draw_points_camera', 'render_heatmap_panel', 'render_depth_panel']
 
 # BGR per class id (car, truck/bus, motorcycle, pedestrian, other)
 _CLASS_COLORS = [(80, 220, 60), (0, 165, 255), (255, 80, 80),
@@ -138,6 +139,68 @@ def draw_boxes_camera(image: np.ndarray, boxes: np.ndarray,
     return img
 
 
+def draw_points_camera(image: np.ndarray, points: np.ndarray,
+                       extrinsic: np.ndarray, intrinsic: np.ndarray,
+                       max_depth: float = 80.0, radius: int = 1,
+                       radar_flag_dim: Optional[int] = 3) -> np.ndarray:
+    """Project sensor points into a camera image, colored by depth (near red
+    -> far blue); radar returns drawn larger. Parity with the reference
+    renderer's lidar/radar camera overlays (renderer.py:452-560)."""
+    img = image.copy()
+    if points is None or not len(points):
+        return img
+    pts = np.asarray(points, np.float64)
+    cam = (np.asarray(extrinsic, np.float64)[:3, :3] @ pts[:, :3].T
+           + np.asarray(extrinsic, np.float64)[:3, 3:4])            # [3, P]
+    z = cam[2]
+    k = np.asarray(intrinsic, np.float64)[:3, :3]
+    uvw = k @ cam
+    u = (uvw[0] / np.maximum(uvw[2], 1e-6)).astype(np.int32)
+    v = (uvw[1] / np.maximum(uvw[2], 1e-6)).astype(np.int32)
+    h, w = img.shape[:2]
+    ok = (z > 0.5) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    t = np.clip(z / max_depth, 0.0, 1.0)  # 0 near .. 1 far
+    colors = np.stack([255 * t, 64 + 0 * t, 255 * (1 - t)], -1).astype(np.uint8)
+    is_radar = (pts[:, radar_flag_dim] > 0.5
+                if radar_flag_dim is not None and pts.shape[1] > radar_flag_dim
+                else np.zeros(len(pts), bool))
+    img[v[ok & ~is_radar], u[ok & ~is_radar]] = colors[ok & ~is_radar]
+    if cv2 is not None:
+        for ui, vi, ci in zip(u[ok & is_radar], v[ok & is_radar],
+                              colors[ok & is_radar]):
+            cv2.circle(img, (int(ui), int(vi)), radius + 2,
+                       tuple(int(c) for c in ci), -1)
+    return img
+
+
+def _colormap(x: np.ndarray) -> np.ndarray:
+    """[H, W] in [0, 1] -> BGR uint8 (JET when cv2 exists, grey fallback)."""
+    g = np.clip(x * 255.0, 0, 255).astype(np.uint8)
+    if cv2 is not None:
+        return cv2.applyColorMap(g, cv2.COLORMAP_JET)
+    return np.stack([g, g, g], -1)
+
+
+def render_heatmap_panel(heatmaps: Sequence[np.ndarray]) -> np.ndarray:
+    """Per-task class heatmaps [H, W] (already sigmoided) -> one horizontal
+    panel (the reference logs these to wandb every 200 steps,
+    mm_training_aim.py:491-499)."""
+    tiles = [_colormap(np.asarray(hm, np.float32)) for hm in heatmaps]
+    hmax = max(t.shape[0] for t in tiles)
+    tiles = [np.pad(t, ((0, hmax - t.shape[0]), (0, 2), (0, 0)))
+             for t in tiles]
+    return np.concatenate(tiles, axis=1)
+
+
+def render_depth_panel(depth_probs: np.ndarray, d_bound) -> np.ndarray:
+    """Depth softmax [fh, fw, D] -> expected-depth image, colormapped."""
+    d0, d1, step = d_bound
+    d = np.asarray(depth_probs, np.float32)
+    bins = d0 + step * np.arange(d.shape[-1], dtype=np.float32)
+    exp_depth = (d * bins).sum(-1) / np.maximum(d.sum(-1), 1e-6)
+    return _colormap((exp_depth - d0) / max(d1 - d0, 1e-6))
+
+
 class Renderer:
     """Scene renderer over assembled frames (reference Renderer parity).
 
@@ -158,12 +221,17 @@ class Renderer:
         return render_bev(frame.points, gt, pred_boxes, pred_labels,
                           pc_range=self.pc_range, px_per_m=self.px_per_m)
 
-    def render_frame_cameras(self, frame, pred_boxes=None, pred_labels=None):
+    def render_frame_cameras(self, frame, pred_boxes=None, pred_labels=None,
+                             draw_points: bool = True):
         out = []
         for cam in frame.cameras:
             if cam.image is None:
                 continue
             img = cam.image
+            if draw_points and frame.points is not None and len(frame.points):
+                img = draw_points_camera(img, frame.points,
+                                         cam.camera_params.extrinsic,
+                                         cam.camera_params.intrinsic)
             if len(frame.objects):
                 img = draw_boxes_camera(img, frame.objects[:, :9],
                                         cam.camera_params.extrinsic,
