@@ -69,6 +69,11 @@ class BackboneConf:
     # Extra BEV downsample applied at splat time so the camera BEV lands on the
     # head-input grid (grid/8). 2 => 1.6 m cells for the default geometry.
     bev_pool_downsample: int = 2
+    # Row-factorized splat (ops/voxel_pooling.lift_splat_factorized): exact
+    # for the virtualized zero-roll/pitch rig the aiMotive pipeline always
+    # produces (data/frame_loader.py), and ~an order of magnitude faster.
+    # Set False for raw (non-virtualized) camera rigs, e.g. nuScenes.
+    factorized_splat: bool = True
 
     @property
     def depth_channels(self) -> int:

@@ -74,6 +74,13 @@ class NuscMVDetDataset:
             self.infos: List[Dict] = pickle.load(f)
         self.cfg = cfg
         self.data_root = data_root
+        if cfg.use_cam and cfg.get_backbone_conf().factorized_splat:
+            import warnings
+            warnings.warn(
+                'factorized_splat assumes zero-roll/pitch (virtualized) '
+                'cameras; raw nuScenes rigs have roll/pitch — set '
+                'BackboneConf(factorized_splat=False) for exact geometry',
+                stacklevel=2)
         self.classes = tuple(classes)
         self.is_train = is_train
         self.cams = tuple(cams)[:cfg.num_cameras]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..configs import BackboneConf
 from ..core.geometry import create_frustum, flat_bev_index, get_geometry, quantize_geometry
-from ..ops.voxel_pooling import lift_splat
+from ..ops.voxel_pooling import lift_splat, lift_splat_factorized
 from .depth_net import DepthNet
 from .resnet import ResNet
 from .second_fpn import SECONDFPN
@@ -105,17 +105,31 @@ class LSSFPN(nn.Module):
         geom = get_geometry(frustum, sensor2ego, intrin)       # [B,N,D,fH,fW,3]
         vc, vs, vn = self._bev_geometry
         gidx = quantize_geometry(geom, vc, vs)
-        flat = flat_bev_index(gidx, vn)                        # [B,N,D,fH,fW]
-        nx, ny, _ = vn
+        nx, ny, nz = vn
         g = nx * ny
-
         fh, fw = conf.feat_hw
-        p = fh * fw
-        dep = lift_depth.reshape(b * n, p, d_ch).transpose(0, 2, 1)   # [BN,D,P]
-        ctx = context.reshape(b * n, p, c_out)                        # [BN,P,C]
-        # index trash bin g stays g; cells are y*nx+x
-        fi = flat.reshape(b * n, d_ch, p)
-        bev_per_cam = lift_splat(dep, ctx, fi, g)                     # [BN,G,C]
+
+        if conf.factorized_splat:
+            # zero-roll/pitch rig: BEV (x, y) is image-row-independent, so
+            # row 0's cells stand for every row; z validity stays per-row
+            # (see ops/voxel_pooling.lift_splat_factorized)
+            xi, yi = gidx[..., 0], gidx[..., 1]
+            valid_xy = (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+            flat_xy = jnp.where(valid_xy, yi * nx + xi, g)[:, :, :, 0, :]
+            zvalid = (gidx[..., 2] >= 0) & (gidx[..., 2] < nz)
+            dep4 = lift_depth.transpose(0, 3, 1, 2)            # [BN,D,fH,fW]
+            bev_per_cam = lift_splat_factorized(
+                dep4, context, flat_xy.reshape(b * n, d_ch, fw),
+                zvalid.reshape(b * n, d_ch, fh, fw), g)        # [BN,G,C]
+        else:
+            flat = flat_bev_index(gidx, vn)                    # [B,N,D,fH,fW]
+            p = fh * fw
+            dep = lift_depth.reshape(b * n, p, d_ch).transpose(0, 2, 1)
+            ctx = context.reshape(b * n, p, c_out)
+            # index trash bin g stays g; cells are y*nx+x
+            fi = flat.reshape(b * n, d_ch, p)
+            bev_per_cam = lift_splat(dep, ctx, fi, g)          # [BN,G,C]
+
         bev = bev_per_cam.reshape(b, n, g, c_out).sum(axis=1)
         bev = bev.reshape(b, ny, nx, c_out)
         return bev, depth

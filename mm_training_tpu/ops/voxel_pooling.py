@@ -31,7 +31,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ['voxel_pooling', 'lift_splat', 'lift_splat_matrix']
+__all__ = ['voxel_pooling', 'lift_splat', 'lift_splat_matrix',
+           'lift_splat_factorized']
 
 
 def voxel_pooling(geom_xyz: jnp.ndarray, features: jnp.ndarray, voxel_num) -> jnp.ndarray:
@@ -115,3 +116,45 @@ def lift_splat_matrix(depth: jnp.ndarray, ctx: jnp.ndarray,
 
     _, out = jax.lax.scan(step, None, (depth, ctx, flat_idx))
     return out
+
+
+def lift_splat_factorized(depth: jnp.ndarray, ctx: jnp.ndarray,
+                          flat_idx_xy: jnp.ndarray, zvalid: jnp.ndarray,
+                          n_cells: int) -> jnp.ndarray:
+    """Row-factorized splat for zero-roll/pitch (virtualized) cameras.
+
+    With zero roll and pitch, the camera's y (image-row) axis maps to pure
+    ego -z, so a frustum point's BEV (x, y) cell depends only on (depth bin,
+    image COLUMN) — never on the row. The splat then factorizes exactly:
+
+        bev[g, c] = sum_{d,u} A[d, u, c] * [cell(d, u) == g]
+        A[d, u, c] = sum_v depth[d, v, u] * zvalid[d, v, u] * ctx[v, u, c]
+
+    The row contraction is an MXU einsum, and the scatter shrinks from
+    D*fH*fW rows to D*fW rows — 44x fewer at production geometry. A device
+    profile showed the unfactorized scatter was ~65% of the whole train
+    step; this removes almost all of it. Exactness requires the virtualized
+    rig (data/frame_loader.py guarantees zero roll/pitch and zero-skew
+    intrinsics); gate with BackboneConf.factorized_splat for raw rigs.
+
+    Args:
+      depth:       [M, D, fH, fW] depth distributions.
+      ctx:         [M, fH, fW, C] context features.
+      flat_idx_xy: [M, D, fW] int32 BEV cell ids (trash bin = n_cells).
+      zvalid:      [M, D, fH, fW] bool z-range mask (row-dependent).
+      n_cells:     static ny * nx.
+
+    Returns:
+      [M, n_cells, C] per-camera BEV features.
+    """
+    m, d, fh, fw = depth.shape
+    c = ctx.shape[-1]
+    masked = depth * zvalid.astype(depth.dtype)
+    a = jnp.einsum('mdhw,mhwc->mdwc', masked, ctx,
+                   preferred_element_type=jnp.float32)            # [M,D,fW,C]
+    seg = (flat_idx_xy
+           + (n_cells + 1) * jnp.arange(m, dtype=jnp.int32)[:, None, None])
+    out = jax.ops.segment_sum(a.reshape(m * d * fw, c).astype(jnp.float32),
+                              seg.reshape(-1),
+                              num_segments=m * (n_cells + 1))
+    return out.reshape(m, n_cells + 1, c)[:, :n_cells]

@@ -73,3 +73,40 @@ def test_voxel_pooling_gradient_is_gather():
     np.testing.assert_allclose(np.asarray(g[0, 1]), out_grad[1, 1])
     np.testing.assert_allclose(np.asarray(g[0, 2]), out_grad[1, 1])
     np.testing.assert_allclose(np.asarray(g[0, 3]), 0.0)  # out of bounds
+
+
+def test_factorized_splat_matches_general_path():
+    """lift_splat_factorized == lift_splat through the full LSSFPN on a
+    zero-roll/pitch rig (the virtualized-camera invariant it relies on)."""
+    import dataclasses
+
+    import jax
+    from mm_training_tpu.configs import tiny_test_config
+    from mm_training_tpu.data.fake_batch import make_fake_batch
+    from mm_training_tpu.models.lss_fpn import LSSFPN
+    from mm_training_tpu.training.train_step import normalize_images
+
+    cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
+                           batch_size=2)
+    bb = cfg.get_backbone_conf()
+    assert bb.factorized_splat  # the production default
+    batch = make_fake_batch(cfg, seed=0)
+    imgs = normalize_images(jnp.asarray(batch['imgs']))
+    s2e = jnp.asarray(batch['sensor2ego'])
+    intr = jnp.asarray(batch['intrin'])
+    b, s, n = imgs.shape[:3]
+    flipped = jnp.zeros((b * s * n,), bool)
+
+    model_f = LSSFPN(bb)
+    model_g = LSSFPN(dataclasses.replace(bb, factorized_splat=False))
+    variables = jax.jit(model_f.init, static_argnums=(6,))(
+        jax.random.PRNGKey(0), imgs, s2e, intr, flipped, None, False)
+
+    bev_f, depth_f = model_f.apply(variables, imgs, s2e, intr, flipped,
+                                   None, False)
+    bev_g, depth_g = model_g.apply(variables, imgs, s2e, intr, flipped,
+                                   None, False)
+    np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_g))
+    diff = float(jnp.max(jnp.abs(bev_f - bev_g)))
+    scale = float(jnp.max(jnp.abs(bev_g))) + 1e-9
+    assert diff / scale < 1e-5, (diff, scale)
