@@ -75,7 +75,7 @@ def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
     tr2.setup()
     tr2.init_state(next(iter(tr2.loader('train'))))
     tr2.restore(str(tr.out_path / 'saved_models' / 'latest'))
-    assert tr2.global_step in (2, 4)  # whichever 'latest' save ran last
+    assert tr2.global_step in (2, 4, 6, 8)  # whichever latest save ran last
 
 
 def test_per_odd_eval_matrix(synth_root, tmp_path):
