@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ['create_frustum', 'get_geometry', 'quantize_geometry', 'flat_bev_index']
+__all__ = ['create_frustum', 'get_geometry', 'quantize_geometry',
+           'flat_bev_index', 'rig_is_row_independent']
 
 
 def create_frustum(d_bound, final_dim, downsample_factor) -> np.ndarray:
@@ -53,6 +54,23 @@ def get_geometry(frustum: jnp.ndarray, sensor2ego: jnp.ndarray,
                          precision='highest')                    # [B,N,4,4]
     out = jnp.einsum('bnij,dhwj->bndhwi', combine, pts, precision='highest')
     return out[..., :3]
+
+
+def rig_is_row_independent(sensor2ego, intrin, tol: float = 1e-5) -> bool:
+    """True iff the BEV (x, y) of every frustum point is independent of the
+    image row — the exactness condition of the factorized splat
+    (ops/voxel_pooling.lift_splat_factorized).
+
+    The row enters the projection only through the (v*d) term, whose ego
+    x/y coefficients are column 1 of sensor2ego @ inv(intrin). Zero
+    roll/pitch + zero-skew intrinsics (what camera virtualization
+    produces) make them exactly 0. Host-side numpy — call once per rig.
+    """
+    import numpy as np
+    s2e = np.asarray(sensor2ego, np.float64).reshape(-1, 4, 4)
+    k = np.asarray(intrin, np.float64).reshape(-1, 4, 4)
+    combine = s2e @ np.linalg.inv(k)
+    return bool(np.all(np.abs(combine[:, 0:2, 1]) < tol))
 
 
 def quantize_geometry(geom_xyz: jnp.ndarray, voxel_coord, voxel_size) -> jnp.ndarray:

@@ -150,6 +150,18 @@ class Trainer:
 
     def init_state(self, sample_batch: Dict[str, np.ndarray], rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        if self.cfg.use_cam and self.cfg.get_backbone_conf().factorized_splat:
+            # the factorized splat is exact only for zero-roll/pitch rigs
+            # (virtualized cameras); verify against this run's calibration
+            from ..core.geometry import rig_is_row_independent
+            if not rig_is_row_independent(sample_batch['sensor2ego'],
+                                          sample_batch['intrin']):
+                import warnings
+                warnings.warn(
+                    'camera rig has roll/pitch or intrinsic skew: the '
+                    'factorized splat is approximate here — set '
+                    'BackboneConf(factorized_splat=False) for exact '
+                    'geometry', stacklevel=2)
         device_batch = shard_batch(self.mesh, _strip(sample_batch))
         model_batch = dict(device_batch)
         b, s, n = model_batch['imgs'].shape[:3]

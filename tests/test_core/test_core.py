@@ -102,3 +102,35 @@ def test_frustum_and_geometry():
     flat = flat_bev_index(idx, (8, 8, 8))
     assert flat.shape == geom.shape[:-1]
     assert int(flat.max()) <= 64
+
+
+def test_rig_row_independence_check():
+    """The factorized-splat exactness predicate: true for the virtualized
+    zero-roll/pitch rig, false once the camera pitches."""
+    from scipy.spatial.transform import Rotation
+
+    from mm_training_tpu.core.geometry import rig_is_row_independent
+
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 500.0
+    k[0, 2], k[1, 2] = 640.0, 352.0
+    opt = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    for yaw in (0.0, 37.0, -120.0):
+        rz = Rotation.from_euler('z', yaw, degrees=True).as_matrix()
+        s2e = np.eye(4)
+        s2e[:3, :3] = (opt @ rz.T).T  # sensor->ego = (ego->sensor)^T
+        s2e[:3, 3] = [1.0, 0.2, 1.5]
+        assert rig_is_row_independent(s2e[None], k[None])
+
+    # 2 degrees of pitch breaks it
+    pitch = Rotation.from_euler('y', 2.0, degrees=True).as_matrix()
+    s2e_p = np.eye(4)
+    s2e_p[:3, :3] = (opt @ pitch.T).T
+    assert not rig_is_row_independent(s2e_p[None], k[None])
+
+    # intrinsic skew breaks it too
+    ks = k.copy()
+    ks[0, 1] = 20.0
+    s2e0 = np.eye(4)
+    s2e0[:3, :3] = opt.T
+    assert not rig_is_row_independent(s2e0[None], ks[None])
