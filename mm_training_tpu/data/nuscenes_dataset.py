@@ -85,6 +85,7 @@ class NuscMVDetDataset:
         self.is_train = is_train
         self.cams = tuple(cams)[:cfg.num_cameras]
         self.epoch = 0
+        self.use_cbgs = use_cbgs
         self.idx_map = (self._cbgs_indices() if use_cbgs
                         else np.arange(len(self.infos)))
 
@@ -104,7 +105,7 @@ class NuscMVDetDataset:
             return np.arange(len(self.infos))
         frac = 1.0 / len(self.classes)
         out: List[int] = []
-        rng = np.random.default_rng(self.cfg.seed)
+        rng = np.random.default_rng(self.cfg.seed * 1_000_003 + self.epoch)
         for v in cls_to_samples.values():
             if not v:
                 continue
@@ -118,6 +119,8 @@ class NuscMVDetDataset:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if self.use_cbgs:  # fresh resample each epoch, like the reference
+            self.idx_map = self._cbgs_indices()
 
     # ------------------------------------------------------------------- ida
     def _sample_ida(self, rng, src_hw):

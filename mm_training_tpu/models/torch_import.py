@@ -45,15 +45,19 @@ _BOTTLENECK = {50, 101}
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a .pth/.pt file into a flat {name: np.ndarray} dict. Accepts raw
-    state_dicts and {'state_dict': ...} checkpoints; strips common prefixes."""
+    state_dicts and {'state_dict': ...} checkpoints. Wrapper prefixes
+    ('module.', 'model.', 'backbone.') are stripped only when EVERY key
+    shares them — 'backbone.' is a real scope inside full reference
+    checkpoints and must survive there."""
     import torch
     obj = torch.load(path, map_location='cpu', weights_only=False)
     sd = obj.get('state_dict', obj) if isinstance(obj, dict) else obj
+    keys = list(sd.keys())
+    for prefix in ('module.', 'model.', 'backbone.'):
+        while keys and all(k.startswith(prefix) for k in keys):
+            keys = [k[len(prefix):] for k in keys]
     out = {}
-    for k, v in sd.items():
-        for prefix in ('module.', 'model.', 'backbone.'):
-            if k.startswith(prefix):
-                k = k[len(prefix):]
+    for k, v in zip(keys, sd.values()):
         if hasattr(v, 'numpy'):
             out[k] = v.detach().cpu().numpy()
     return out

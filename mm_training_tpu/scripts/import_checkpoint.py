@@ -1,0 +1,107 @@
+"""Import a reference (torch) checkpoint into this framework.
+
+Converts a released aimotive/mm_training checkpoint (README.md:65-72; torch
+state_dict with mmdet/mmdet3d naming) into this framework's parameter trees
+via models/torch_import, grafts it onto a freshly initialized model, runs a
+forward smoke test, and (optionally) writes an orbax checkpoint that
+``Trainer.restore`` / ``Config.ckpt_path`` can load directly.
+
+The lidar encoder is architecturally different by design and is NOT
+converted (models/lidar_encoder.py) — camera-only checkpoints import fully;
+lidar-involving combos start that branch from init (retrain/distill).
+
+Usage:
+    python -m mm_training_tpu.scripts.import_checkpoint \
+        --ckpt lidar_camera.ckpt --config lidar_cam_radar \
+        [--out /path/to/converted] [key=value overrides...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+__all__ = ['import_checkpoint', 'main']
+
+
+def import_checkpoint(ckpt_path: str, cfg, out: str = None,
+                      smoke: bool = True) -> dict:
+    """Convert + graft + smoke-test; returns a coverage report dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.fake_batch import make_fake_batch
+    from ..models import BEVDepthLiDAR
+    from ..models.torch_import import (convert_reference_checkpoint,
+                                       load_torch_state_dict, merge_subtree)
+
+    sd = load_torch_state_dict(ckpt_path)
+    params, stats = convert_reference_checkpoint(sd, cfg)
+
+    known = ('backbone.', 'head.', 'bev_fuse.')
+    report = {
+        'checkpoint': ckpt_path,
+        'source_keys': len(sd),
+        'converted_leaves': len(jax.tree_util.tree_leaves((params, stats))),
+        'skipped_lidar_encoder_keys':
+            sum(k.startswith('lidar_encoder.') for k in sd),
+        'skipped_dead_context_se_keys':
+            sum('.context_se.' in k for k in sd),
+        'unrecognized_keys': sorted(
+            k for k in sd
+            if not k.startswith(known + ('lidar_encoder.',))),
+    }
+
+    model = BEVDepthLiDAR(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_fake_batch(cfg, batch_size=1, seed=0).items()}
+    b, s, n = batch['imgs'].shape[:3]
+    batch['flipped'] = jnp.zeros((b * s * n,), bool)
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), batch, None, False)
+    merged = merge_subtree(variables, params, stats)
+
+    if smoke:
+        preds, depth_pred, _, _ = model.apply(merged, batch, None, False)
+        finite = all(bool(np.isfinite(np.asarray(p[k], np.float32)).all())
+                     for p in preds for k in p)
+        report['forward_smoke'] = 'ok' if finite else 'NON-FINITE OUTPUTS'
+
+    if out:
+        import orbax.checkpoint as ocp
+
+        from ..training.optim import make_optimizer
+        tx = make_optimizer(cfg, steps_per_epoch=1000)
+        tree = {'step': jnp.zeros((), jnp.int32),
+                'params': merged['params'],
+                'batch_stats': merged.get('batch_stats', {}),
+                'opt_state': tx.init(merged['params'])}
+        import os
+        path = os.path.abspath(os.path.join(out, '0', 'default'))
+        ocp.StandardCheckpointer().save(path, tree)
+        report['saved'] = path
+    return report
+
+
+def main(argv=None):
+    from ..exps.common import build_config, parse_args
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--ckpt', required=True)
+    p.add_argument('--config', default='lidar_cam_radar')
+    p.add_argument('--out', default=None,
+                   help='write an orbax checkpoint loadable via ckpt_path')
+    p.add_argument('--no-smoke', action='store_true')
+    p.add_argument('overrides', nargs='*')
+    args = p.parse_args(argv)
+
+    cli = parse_args(['--config', args.config] + list(args.overrides))
+    cfg = build_config(cli)
+    report = import_checkpoint(args.ckpt, cfg, out=args.out,
+                               smoke=not args.no_smoke)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == '__main__':
+    main()
