@@ -192,9 +192,14 @@ class AiMotiveDataset:
                 'mm_training_tpu.scripts.gen_depth_gt first')
         grids = np.asarray(np.load(path), np.float32)
         n = cfg.num_cameras
-        if grids.shape[0] < n:  # pad missing cameras with empty grids
-            pad = np.zeros((n - grids.shape[0],) + grids.shape[1:], np.float32)
-            grids = np.concatenate([grids, pad], 0)
+        if grids.shape[0] < n:
+            # zero grids would become bin-0 "labels" AND a depth oracle that
+            # collapses those cameras' lift — fail loudly instead
+            raise ValueError(
+                f'{path} holds {grids.shape[0]} camera grids but the config '
+                f'uses {n} cameras — regenerate with '
+                'mm_training_tpu.scripts.gen_depth_gt (use '
+                '--virtualize-fisheyes to match virtualize_fisheyes=True)')
         return grids[:n]
 
 

@@ -123,8 +123,14 @@ def load_camera_data(data_folder: str, frame_id: str, use_cam: bool,
             img = None
             if read_fisheyes and use_cam:
                 fpath = os.path.join(cam_base, key, f'{key}_{frame_id}.jpg')
-                if os.path.isfile(fpath):
-                    img = _read_image(fpath)
+                img = _read_image(fpath) if os.path.isfile(fpath) else None
+                if img is None:
+                    # silently skipping would yield a sample with fewer
+                    # virtual cameras than its batch peers (collate crash
+                    # far from the cause)
+                    raise FileNotFoundError(
+                        f'virtualize_fisheyes is on but {fpath} is missing '
+                        'or unreadable')
             items.append(CameraFrame(name, img, params[key]))
     return CameraData(items=items, timestamp=float(timestamp))
 

@@ -17,12 +17,14 @@ dataset families. Differences from the reference, by design:
 
 Depth ground truth: the LIDAR_TOP frame (plus egomotion-compensated sweeps,
 nusc_mv_det_dataset.py:506-535) is loaded into the padded 'points' array, so
-the train step's on-device projection produces real depth labels
-(mm_training_aim.py's get_depth_labels equivalent); with
-``Config.depth_gt_root`` set, precomputed grids are shipped instead
-(nusc_mv_det_dataset.py:387-396 parity). Missing lidar files yield an empty
-(masked-out) cloud — camera-only training then has a degenerate depth loss,
-matching the reference when its depth files are absent.
+the train step's on-device projection produces real depth labels — this
+covers the same need as the reference's precomputed depth-GT files
+(nusc_mv_det_dataset.py:387-396) without an ida-coupled file pipeline
+(labels are projected through the aug-folded intrinsics, so they are always
+aligned; ``Config.depth_gt_root`` grids are an aiMotive-path feature).
+Missing lidar files yield an empty (masked-out) cloud — camera-only
+training then has a degenerate depth loss, matching the reference when its
+depth files are absent.
 """
 from __future__ import annotations
 
@@ -227,15 +229,32 @@ class NuscMVDetDataset:
         rng = np.random.default_rng(
             (cfg.seed * 1_000_003 + self.epoch * 97 + index) & 0x7FFFFFFF)
 
+        # ONE reference frame for everything — the LIDAR_TOP ego pose when
+        # lidar exists (where the points land), else the first camera's.
+        # Each sensor's calibration is relative to its own timestamp's ego
+        # pose; chaining through global realigns them (at highway speed the
+        # lidar/camera ego poses differ by ~0.5-1 m).
+        li = info.get('lidar_infos', {}).get('LIDAR_TOP')
+        if li is not None:
+            ref_ego = _pose_to_mat(li['ego_pose'])
+        elif info['cam_infos']:
+            ref_ego = _pose_to_mat(
+                next(iter(info['cam_infos'].values()))['ego_pose'])
+        else:
+            ref_ego = np.eye(4)
+        ref_ego_inv = np.linalg.inv(ref_ego)
+
         imgs, s2e, intr, extr = [], [], [], []
         for cam in self.cams:
             rec = info['cam_infos'].get(cam)
             if rec is None:
                 continue
             calib = rec['calibrated_sensor']
-            sensor2ego = np.eye(4)
-            sensor2ego[:3, :3] = _quat_to_mat(calib['rotation'])
-            sensor2ego[:3, 3] = calib['translation']
+            cam2own_ego = np.eye(4)
+            cam2own_ego[:3, :3] = _quat_to_mat(calib['rotation'])
+            cam2own_ego[:3, 3] = calib['translation']
+            # camera -> its ego(t_cam) -> global -> reference ego(t_ref)
+            sensor2ego = ref_ego_inv @ _pose_to_mat(rec['ego_pose']) @ cam2own_ego
 
             k = np.asarray(calib['camera_intrinsic'], np.float64)
             src_hw = rec.get('height', 900), rec.get('width', 1600)
@@ -252,8 +271,7 @@ class NuscMVDetDataset:
             intr.append(k4.astype(np.float32))
 
         # ------------------------------------------------------------ boxes
-        ego = _pose_to_mat(next(iter(info['cam_infos'].values()))['ego_pose']) \
-            if info['cam_infos'] else np.eye(4)
+        ego = ref_ego
         rows = []
         for ann in info.get('ann_infos', []):
             name = ann['category_name']

@@ -157,4 +157,7 @@ def lift_splat_factorized(depth: jnp.ndarray, ctx: jnp.ndarray,
     out = jax.ops.segment_sum(a.reshape(m * d * fw, c).astype(jnp.float32),
                               seg.reshape(-1),
                               num_segments=m * (n_cells + 1))
+    # back to the compute dtype: returning f32 would silently promote the
+    # fuse layer + entire BEV head under mixed precision
+    out = out.astype(ctx.dtype)
     return out.reshape(m, n_cells + 1, c)[:, :n_cells]

@@ -43,10 +43,11 @@ def depth_grid_numpy(points, extrinsic, intrinsic, img_hw, downsample):
 
 
 def _process_frame(args):
-    path, out_root, data_root, img_hw, downsample = args
+    path, out_root, data_root, img_hw, downsample, virt_fisheyes = args
     from ..data.frame_loader import FrameLoader
     loader = FrameLoader('val', pc_range=(-1e9, -1e9, -1e9, 1e9, 1e9, 1e9),
                          use_cam=True, use_lidar=True, use_radar=False,
+                         virtualize_fisheyes=virt_fisheyes,
                          image_size=img_hw)
     frame = loader[path]
     grids = [depth_grid_numpy(frame.points, c.camera_params.extrinsic,
@@ -67,11 +68,15 @@ def main(argv=None):
     p.add_argument('--workers', type=int, default=8)
     p.add_argument('--height', type=int, default=704)
     p.add_argument('--width', type=int, default=1280)
+    p.add_argument('--virtualize-fisheyes', action='store_true',
+                   help='include the 4 fisheye-derived virtual cameras '
+                        '(match Config.virtualize_fisheyes)')
     args = p.parse_args(argv)
 
     from ..data.aimotive_dataset import get_frames
     frames = get_frames(args.data_root, args.split)
-    work = [(f, args.out, args.data_root, (args.height, args.width), 16)
+    work = [(f, args.out, args.data_root, (args.height, args.width), 16,
+             args.virtualize_fisheyes)
             for f in frames]
     if args.workers > 1:
         with Pool(args.workers) as pool:

@@ -77,6 +77,9 @@ def import_checkpoint(ckpt_path: str, cfg, out: str = None,
                 'params': merged['params'],
                 'batch_stats': merged.get('batch_stats', {}),
                 'opt_state': tx.init(merged['params'])}
+        if cfg.use_ema:  # Trainer.restore targets include EMA shadows then
+            tree['ema_params'] = merged['params']
+            tree['ema_batch_stats'] = merged.get('batch_stats', {})
         import os
         path = os.path.abspath(os.path.join(out, '0', 'default'))
         ocp.StandardCheckpointer().save(path, tree)

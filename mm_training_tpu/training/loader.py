@@ -36,7 +36,10 @@ def stack_batches(batches):
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, pad_last: bool = False):
+        """With ``pad_last`` (eval loaders), a short trailing batch is padded
+        to full size by repeating its last sample and carries an 'n_valid'
+        host-only count — fixed shapes for jit, no dropped eval frames."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,6 +47,7 @@ class PrefetchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.pad_last = pad_last
         self.epoch = 0
         # one long-lived pool (a per-batch pool would churn threads)
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
@@ -74,8 +78,16 @@ class PrefetchLoader:
             return iter(())
 
         def load_batch(indices):
+            n_valid = len(indices)
+            if self.pad_last and n_valid < self.batch_size:
+                indices = np.concatenate(
+                    [indices, np.repeat(indices[-1:],
+                                        self.batch_size - n_valid)])
             samples = list(self._pool.map(self.dataset.__getitem__, indices))
-            return collate_aim(samples)
+            batch = collate_aim(samples)
+            if self.pad_last:
+                batch['n_valid'] = n_valid
+            return batch
 
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

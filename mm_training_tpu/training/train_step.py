@@ -166,7 +166,7 @@ def depth_loss_fn(depth_labels: jnp.ndarray, depth_preds: jnp.ndarray) -> jnp.nd
 
 
 def _strip_host_fields(batch):
-    return {k: v for k, v in batch.items() if k != 'path'}
+    return {k: v for k, v in batch.items() if k not in ('path', 'n_valid')}
 
 
 # ------------------------------------------------------------------ builders

@@ -115,13 +115,15 @@ class Trainer:
     def loader(self, split: str) -> PrefetchLoader:
         """Host loader yielding GLOBAL batches: cfg.batch_size is per-device
         (conf_aim.py per-GPU semantics); the global-view jit shards them over
-        the data axis."""
+        the data axis. Eval loaders pad the trailing batch (n_valid marker)
+        so no frame is dropped from the metric at any mesh size."""
         if split not in self._loaders:
+            train = split == 'train'
             self._loaders[split] = PrefetchLoader(
                 self.dataset(split),
                 self.cfg.batch_size * self.data_parallel_size,
-                shuffle=(split == 'train'), num_workers=self.cfg.num_workers,
-                seed=self.cfg.seed)
+                shuffle=train, num_workers=self.cfg.num_workers,
+                seed=self.cfg.seed, drop_last=train, pad_last=not train)
         return self._loaders[split]
 
     # ---------------------------------------------------------------- setup
@@ -262,6 +264,11 @@ class Trainer:
                            log=False)
 
         kdisp = max(1, cfg.steps_per_dispatch)
+        if kdisp > 1 and len(train_loader) < kdisp:
+            raise ValueError(
+                f'steps_per_dispatch={kdisp} exceeds the {len(train_loader)} '
+                'train batches per epoch — every dispatch group would be '
+                'dropped and no step would ever run')
         step_fn = self._train_step_multi if kdisp > 1 else self._train_step
         timer = StepTimer()
         for epoch in range(max_epochs):
@@ -488,7 +495,7 @@ class Trainer:
         boxes, scores = np.asarray(boxes), np.asarray(scores)
         labels, valid = np.asarray(labels), np.asarray(valid)
         gts, preds = [], []
-        for i in range(boxes.shape[0]):
+        for i in range(batch.get('n_valid', boxes.shape[0])):
             v = valid[i]
             pb = boxes[i][v].copy()
             # decode emits bottom z; GT carries center z. BEV metrics ignore
@@ -502,7 +509,9 @@ class Trainer:
         boxes, scores = np.asarray(boxes), np.asarray(scores)
         labels, valid = np.asarray(labels), np.asarray(valid)
         save_dir = self.out_path / 'outputs'
-        for i, path in enumerate(batch.get('path', [])):
+        paths = batch.get('path', [])
+        paths = paths[:batch.get('n_valid', len(paths))]
+        for i, path in enumerate(paths):
             v = valid[i]
             d = boxes_to_aimotive_dict(boxes[i][v], scores[i][v], labels[i][v])
             rel = path.replace(str(self.data_root), str(save_dir))
@@ -511,8 +520,11 @@ class Trainer:
                 json.dump(d, f)
 
 
+_HOST_KEYS = ('path', 'n_valid')
+
+
 def _strip(batch):
-    return {k: v for k, v in batch.items() if k != 'path'}
+    return {k: v for k, v in batch.items() if k not in _HOST_KEYS}
 
 
 def _state_to_pytree(state: TrainState):

@@ -33,8 +33,10 @@ def _make_fixture(root, n_samples=3):
                     'camera_intrinsic': [[100.0, 0, 80], [0, 100.0, 48],
                                          [0, 0, 1]],
                 },
+                # camera captured ~50 ms after the lidar keyframe: its ego
+                # pose is 0.5 m ahead (the reference frame is the LIDAR ego)
                 'ego_pose': {'rotation': [1, 0, 0, 0],
-                             'translation': [i * 5.0, 0.0, 0.0]},
+                             'translation': [i * 5.0 + 0.5, 0.0, 0.0]},
                 'timestamp': 1000 + i,
             }
         anns = []
@@ -115,6 +117,25 @@ def test_nuscenes_dataset_items(tmp_path):
     # deterministic per (seed, epoch, index)
     s2 = ds[0]
     np.testing.assert_allclose(s['imgs'], s2['imgs'])
+
+
+def test_nuscenes_sensors_share_the_lidar_reference_frame(tmp_path):
+    """Camera extrinsics chain through global into the LIDAR ego frame: the
+    0.5 m camera-vs-lidar egomotion in the fixture must appear in
+    sensor2ego, and boxes/points stay put (they use the lidar frame)."""
+    info_path = _make_fixture(str(tmp_path))
+    cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
+                           H=64, W=128, num_cameras=2)
+    ds = NuscMVDetDataset(info_path, cfg, data_root=str(tmp_path),
+                          is_train=False, cams=('CAM_FRONT', 'CAM_BACK'))
+    s = ds[0]
+    # front cam: calib translation x=+1.5 relative to the CAMERA ego, which
+    # sits 0.5 m ahead of the lidar ego -> 2.0 in the reference frame
+    assert s['sensor2ego'][0, 0, 0, 3] == pytest.approx(2.0, abs=1e-6)
+    assert s['sensor2ego'][0, 1, 0, 3] == pytest.approx(-1.0, abs=1e-6)
+    # boxes are in the lidar ego frame: ann at global x = 5.0*i + [5, 30]
+    b = s['gt_boxes'][s['gt_mask']]
+    assert np.all(b[:, 0] > 4.0) and np.all(b[:, 0] < 31.0)
 
 
 def test_nuscenes_loads_real_lidar_with_sweeps(tmp_path):

@@ -53,3 +53,15 @@ def test_producer_exception_propagates():
                         num_workers=1)
     with pytest.raises(ValueError, match='boom'):
         list(ld)
+
+
+def test_pad_last_marks_n_valid():
+    ds = _ArrayDataset(10)
+    loader = PrefetchLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                            drop_last=False, pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert all(b['x'].shape[0] == 4 for b in batches)
+    assert batches[0].get('n_valid') == 4
+    assert batches[2].get('n_valid') == 2      # padded by repeating the last
+    np.testing.assert_array_equal(batches[2]['x'][2], batches[2]['x'][3])
