@@ -155,8 +155,11 @@ def draw_points_camera(image: np.ndarray, points: np.ndarray,
     z = cam[2]
     k = np.asarray(intrinsic, np.float64)[:3, :3]
     uvw = k @ cam
-    u = (uvw[0] / np.maximum(uvw[2], 1e-6)).astype(np.int32)
-    v = (uvw[1] / np.maximum(uvw[2], 1e-6)).astype(np.int32)
+    with np.errstate(invalid='ignore'):
+        u = np.nan_to_num(uvw[0] / np.maximum(uvw[2], 1e-6),
+                          posinf=-1, neginf=-1).astype(np.int32)
+        v = np.nan_to_num(uvw[1] / np.maximum(uvw[2], 1e-6),
+                          posinf=-1, neginf=-1).astype(np.int32)
     h, w = img.shape[:2]
     ok = (z > 0.5) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
     t = np.clip(z / max_depth, 0.0, 1.0)  # 0 near .. 1 far
