@@ -336,7 +336,11 @@ class Config:
 
     @property
     def camera_feature_channels(self) -> int:
-        return 80 if self.use_cam else 0
+        """80 per sweep (sweep BEVs concat on channels, lss_fpn.py:516-529).
+        The reference's conf_aim.py:36 ignores num_sweeps — its aiMotive
+        path never used camera sweeps; accounting for them here makes the
+        multi-sweep fusion model actually buildable."""
+        return 80 * self.num_sweeps if self.use_cam else 0
 
     @property
     def fuse_layer_in_channels(self) -> int:

@@ -244,31 +244,63 @@ class NuscMVDetDataset:
             ref_ego = np.eye(4)
         ref_ego_inv = np.linalg.inv(ref_ego)
 
-        imgs, s2e, intr, extr = [], [], [], []
+        # camera sweeps = previous KEY FRAMES of the same scene (the
+        # reference's key_idxes mechanism, nusc_mv_det_dataset.py:513-535);
+        # a missing predecessor repeats the current frame
+        raw_idx = int(self.idx_map[index])
+        sweep_infos = [info]
+        j = raw_idx
+        for _ in range(1, cfg.num_sweeps):
+            nj = j - 1
+            if (nj >= 0 and self.infos[nj].get('scene_token')
+                    == info.get('scene_token')):
+                j = nj
+            sweep_infos.append(self.infos[j])
+
+        # one ida sample per CAMERA, shared across sweeps (the reference
+        # samples ida once and reuses it for every sweep of that camera)
+        ida_params = {}
         for cam in self.cams:
             rec = info['cam_infos'].get(cam)
             if rec is None:
                 continue
-            calib = rec['calibrated_sensor']
-            cam2own_ego = np.eye(4)
-            cam2own_ego[:3, :3] = _quat_to_mat(calib['rotation'])
-            cam2own_ego[:3, 3] = calib['translation']
-            # camera -> its ego(t_cam) -> global -> reference ego(t_ref)
-            sensor2ego = ref_ego_inv @ _pose_to_mat(rec['ego_pose']) @ cam2own_ego
-
-            k = np.asarray(calib['camera_intrinsic'], np.float64)
             src_hw = rec.get('height', 900), rec.get('width', 1600)
-            resize, crop, flip = self._sample_ida(rng, src_hw)
-            img = self._load_image(rec['filename'], resize, crop, flip)
-            ida = self._ida_mat(resize, crop, flip, cfg.final_dim[1])
-            k4 = np.eye(4)
-            k4[:3, :3] = k
-            k4 = ida @ k4  # fold augmentation into the intrinsic
+            ida_params[cam] = self._sample_ida(rng, src_hw)
 
-            imgs.append(np.ascontiguousarray(img, np.uint8))
-            s2e.append(sensor2ego.astype(np.float32))
-            extr.append(np.linalg.inv(sensor2ego).astype(np.float32))
-            intr.append(k4.astype(np.float32))
+        sweeps_imgs, sweeps_s2e, sweeps_intr, sweeps_extr = [], [], [], []
+        for sinfo in sweep_infos:
+            imgs, s2e, intr, extr = [], [], [], []
+            for cam in self.cams:
+                rec = sinfo['cam_infos'].get(cam) or info['cam_infos'].get(cam)
+                if rec is None:
+                    continue
+                calib = rec['calibrated_sensor']
+                cam2own_ego = np.eye(4)
+                cam2own_ego[:3, :3] = _quat_to_mat(calib['rotation'])
+                cam2own_ego[:3, 3] = calib['translation']
+                # camera -> its ego(t_cam) -> global -> reference ego(t_ref):
+                # older sweeps land in the KEY frame's ego automatically
+                sensor2ego = (ref_ego_inv @ _pose_to_mat(rec['ego_pose'])
+                              @ cam2own_ego)
+
+                k = np.asarray(calib['camera_intrinsic'], np.float64)
+                resize, crop, flip = ida_params[cam]
+                img = self._load_image(rec['filename'], resize, crop, flip)
+                ida = self._ida_mat(resize, crop, flip, cfg.final_dim[1])
+                k4 = np.eye(4)
+                k4[:3, :3] = k
+                k4 = ida @ k4  # fold augmentation into the intrinsic
+
+                imgs.append(np.ascontiguousarray(img, np.uint8))
+                s2e.append(sensor2ego.astype(np.float32))
+                extr.append(np.linalg.inv(sensor2ego).astype(np.float32))
+                intr.append(k4.astype(np.float32))
+            sweeps_imgs.append(imgs)
+            sweeps_s2e.append(s2e)
+            sweeps_intr.append(intr)
+            sweeps_extr.append(extr)
+        imgs, s2e, intr, extr = (sweeps_imgs[0], sweeps_s2e[0],
+                                 sweeps_intr[0], sweeps_extr[0])
 
         # ------------------------------------------------------------ boxes
         ego = ref_ego
@@ -330,14 +362,14 @@ class NuscMVDetDataset:
             'gt_boxes': gt_boxes, 'gt_labels': gt_labels, 'gt_mask': gt_mask,
             'bda_mat': bda_mat,
             'cam_ts': np.float32(0.0),
-            'imgs': np.stack(imgs)[None] if imgs
-                    else np.zeros((1, 1, 1, 1, 3), np.uint8),
-            'sensor2ego': np.stack(s2e)[None] if s2e
-                          else np.eye(4, dtype=np.float32)[None, None],
-            'intrin': np.stack(intr)[None] if intr
-                      else np.eye(4, dtype=np.float32)[None, None],
-            'extrinsics': np.stack(extr)[None] if extr
-                          else np.eye(4, dtype=np.float32)[None, None],
+            'imgs': (np.stack([np.stack(s) for s in sweeps_imgs])
+                     if imgs else np.zeros((1, 1, 1, 1, 3), np.uint8)),
+            'sensor2ego': (np.stack([np.stack(s) for s in sweeps_s2e])
+                           if s2e else np.eye(4, dtype=np.float32)[None, None]),
+            'intrin': (np.stack([np.stack(s) for s in sweeps_intr])
+                       if intr else np.eye(4, dtype=np.float32)[None, None]),
+            'extrinsics': (np.stack([np.stack(s) for s in sweeps_extr])
+                           if extr else np.eye(4, dtype=np.float32)[None, None]),
             'path': info.get('sample_token', str(index)),
         }
         return sample

@@ -206,6 +206,53 @@ def test_nuscenes_train_step_and_eval_end_to_end(tmp_path):
     assert 'NDS' in res and np.isfinite(res['NDS'])
 
 
+def test_nuscenes_camera_key_frame_sweeps(tmp_path):
+    """num_sweeps=2: the previous key frame of the same scene rides along as
+    sweep 1, posed in the KEY frame's reference ego (the 5 m of egomotion
+    between samples must appear in its sensor2ego translation)."""
+    info_path = _make_fixture(str(tmp_path))
+    cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
+                           H=64, W=128, num_cameras=2, num_sweeps=2)
+    ds = NuscMVDetDataset(info_path, cfg, data_root=str(tmp_path),
+                          is_train=False, cams=('CAM_FRONT', 'CAM_BACK'))
+    s = ds[1]  # sample 1 -> sweep partner is sample 0, one scene
+    assert s['imgs'].shape == (2, 2, 64, 128, 3)
+    assert s['sensor2ego'].shape == (2, 2, 4, 4)
+    # key front cam: +1.5 calib + 0.5 cam-vs-lidar egomotion
+    assert s['sensor2ego'][0, 0, 0, 3] == pytest.approx(2.0, abs=1e-6)
+    # sweep front cam: 5 m further back (previous sample's ego pose)
+    assert s['sensor2ego'][1, 0, 0, 3] == pytest.approx(-3.0, abs=1e-6)
+
+    # sample 0 has no predecessor: the key frame repeats as its own sweep
+    s0 = ds[0]
+    np.testing.assert_allclose(s0['sensor2ego'][0], s0['sensor2ego'][1])
+
+    # multi-sweep fusion model trains one step on this batch
+    import jax
+    import jax.numpy as jnp
+    from mm_training_tpu.data.aimotive_dataset import collate_aim
+    from mm_training_tpu.models import BEVDepthLiDAR
+    from mm_training_tpu.training.optim import make_optimizer
+    from mm_training_tpu.training.train_step import (create_train_state,
+                                                     make_train_step)
+    cfg2 = tiny_test_config(use_cam=True, use_lidar=True, use_radar=False,
+                            H=64, W=128, num_cameras=2, num_sweeps=2,
+                            batch_size=2)
+    ds2 = NuscMVDetDataset(info_path, cfg2, data_root=str(tmp_path),
+                           is_train=True, cams=('CAM_FRONT', 'CAM_BACK'))
+    batch = {k: jnp.asarray(v)
+             for k, v in collate_aim([ds2[1], ds2[2]]).items() if k != 'path'}
+    model = BEVDepthLiDAR(cfg2)
+    tx = make_optimizer(cfg2, steps_per_epoch=10)
+    mb = dict(batch)
+    b, sw, n = batch['imgs'].shape[:3]
+    mb['flipped'] = jnp.zeros((b * sw * n,), bool)
+    state = create_train_state(cfg2, model, tx, jax.random.PRNGKey(0), mb)
+    _, metrics = make_train_step(cfg2, model, tx)(state, batch,
+                                                  jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['train_loss']))
+
+
 def test_nuscenes_cbgs_oversamples(tmp_path):
     info_path = _make_fixture(str(tmp_path))
     cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
