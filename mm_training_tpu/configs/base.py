@@ -279,6 +279,10 @@ class Config:
     # --- trainer (conf_aim.py:29-32 + Lightning defaults in mm_training_aim.py:619-628)
     max_epochs: int = 999
     log_every_n_steps: int = 50
+    # decode + log scene/heatmap/depth panels on the current train batch
+    # every N steps (reference: wandb artifacts every 200 steps,
+    # mm_training_aim.py:270-284). 0 = per-eval-epoch panels only.
+    viz_every_n_steps: int = 0
     gradient_clip_val: float = 2.0
     weight_decay: float = 1e-7
     lr_milestones: Tuple[int, ...] = (19, 23)  # MultiStepLR (mm_training_aim.py:530)

@@ -286,6 +286,10 @@ class Trainer:
                                                 if kdisp > 1 else 1)
                 timer.stop(n_samples=n)
                 self.logger.log_step(self.global_step, metrics)
+                if cfg.viz_every_n_steps and (
+                        self.global_step // cfg.viz_every_n_steps
+                        > prev_step // cfg.viz_every_n_steps):
+                    self._log_train_viz(batch, device_batch, kdisp)
                 if cfg.latest_every_n_steps and (
                         self.global_step // cfg.latest_every_n_steps
                         > prev_step // cfg.latest_every_n_steps):
@@ -401,6 +405,24 @@ class Trainer:
             out[odd] = self._run_eval(key, prefix=f'test_{odd}',
                                       max_batches=max_batches)
         return out
+
+    def _log_train_viz(self, batch, device_batch, kdisp: int):
+        """Decode the current train batch and log the scene panels
+        (reference: wandb Object3D/log_images every 200 train steps,
+        mm_training_aim.py:270-284)."""
+        try:
+            if kdisp > 1:  # stacked [K, B, ...]: take the last micro-batch
+                batch = {k: (v[-1] if isinstance(v, np.ndarray) else v)
+                         for k, v in batch.items()}
+                device_batch = jax.tree_util.tree_map(lambda x: x[-1],
+                                                      device_batch)
+            with self.mesh:
+                _, (boxes, scores, labels, valid), viz = self._eval_step(
+                    self.state, device_batch)
+            self._log_scene_panel(batch, boxes, scores, labels, valid,
+                                  'train', viz)
+        except Exception:  # viz must never break training
+            pass
 
     def _log_scene_panel(self, batch, boxes, scores, labels, valid, prefix,
                          viz=None):

@@ -71,8 +71,17 @@ class MetricsLogger:
 
     def log_image(self, step: int, name: str, image: np.ndarray):
         """HWC uint8 image panel (the reference logged wandb heatmap/depth
-        panels every 200 steps, mm_training_aim.py:270-284,491-499)."""
+        panels every 200 steps, mm_training_aim.py:270-284,491-499). Also
+        dumped as a PNG under out_path/panels/ so runs without TB/wandb
+        still get inspectable artifacts."""
         if self.tb is not None:
             self.tb.add_image(name, image.transpose(2, 0, 1), step)
         if self.wandb_run is not None:  # pragma: no cover
             self.wandb_run.log({name: wandb.Image(image)}, step=step)
+        try:
+            import cv2
+            panels = self.out_path / 'panels'
+            panels.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(panels / f'{name}_{step:07d}.png'), image)
+        except Exception:  # pragma: no cover - best-effort artifact
+            pass

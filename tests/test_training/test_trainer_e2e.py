@@ -43,7 +43,7 @@ def _cfg(tmp_path, **kw):
 
 
 def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
-    cfg = _cfg(tmp_path, steps_per_dispatch=2)
+    cfg = _cfg(tmp_path, steps_per_dispatch=2, viz_every_n_steps=2)
     tr = _trainer(cfg, synth_root)
     tr.setup()
     # 2 epochs: catches state leaking between epochs (e.g. the loop variable
@@ -69,6 +69,11 @@ def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
 
     # config snapshot (create_trainer parity, mm_training_aim.py:582-583)
     assert (tr.out_path / 'config.json').is_file()
+    # in-training viz cadence (reference: wandb artifacts every 200 steps)
+    # + per-eval panels, both also dumped as PNGs
+    panels = list((tr.out_path / 'panels').glob('*.png'))
+    assert any(p.name.startswith('train_bev') for p in panels), panels
+    assert any(p.name.startswith('test_bev') for p in panels), panels
 
     # resume from 'latest': a fresh trainer continues at the same step
     tr2 = _trainer(_cfg(tmp_path, steps_per_dispatch=2), synth_root)
