@@ -155,15 +155,16 @@ class Trainer:
         if self.cfg.use_cam and self.cfg.get_backbone_conf().factorized_splat:
             # the factorized splat is exact only for zero-roll/pitch rigs
             # (virtualized cameras); verify against this run's calibration
+            # and fall back to the general scatter automatically
             from ..core.geometry import rig_is_row_independent
             if not rig_is_row_independent(sample_batch['sensor2ego'],
                                           sample_batch['intrin']):
                 import warnings
                 warnings.warn(
-                    'camera rig has roll/pitch or intrinsic skew: the '
-                    'factorized splat is approximate here — set '
-                    'BackboneConf(factorized_splat=False) for exact '
-                    'geometry', stacklevel=2)
+                    'camera rig has roll/pitch or intrinsic skew — '
+                    'switching to the general (non-factorized) splat for '
+                    'exact geometry', stacklevel=2)
+                self._disable_factorized_splat()
         device_batch = shard_batch(self.mesh, _strip(sample_batch))
         model_batch = dict(device_batch)
         b, s, n = model_batch['imgs'].shape[:3]
@@ -188,6 +189,28 @@ class Trainer:
         if self.cfg.ckpt_path:
             self.restore(self.cfg.ckpt_path)
         return self.state
+
+    def _disable_factorized_splat(self):
+        """Rebuild the model + step programs with the general splat (same
+        parameter tree — the splat is parameter-free, so an existing
+        TrainState stays valid)."""
+        import dataclasses
+
+        from ..parallel import MODEL_AXIS
+        bb = dataclasses.replace(self.cfg.get_backbone_conf(),
+                                 factorized_splat=False)
+        self.cfg = dataclasses.replace(self.cfg, backbone_conf=bb)
+        cfg = self.cfg
+        self.model = BEVDepthLiDAR(
+            cfg, spatial_axis=MODEL_AXIS if cfg.model_parallel > 1 else None)
+        if hasattr(self, 'tx'):
+            self._train_step = make_train_step(cfg, self.model, self.tx)
+            self._train_step_multi = (
+                make_train_step_multi(cfg, self.model, self.tx,
+                                      cfg.steps_per_dispatch)
+                if cfg.steps_per_dispatch > 1 else None)
+            self._eval_step = make_eval_step(cfg, self.model)
+            self._predict_step = make_predict_step(cfg, self.model)
 
     # ----------------------------------------------------------- checkpoint
     def _manager(self, name: str, best: bool):

@@ -111,3 +111,38 @@ def test_restore_raises_on_missing_path(synth_root, tmp_path):
     tr.init_state(next(iter(tr.loader('val'))))
     with pytest.raises(FileNotFoundError):
         tr.restore(str(tmp_path / 'no_such_ckpt'))
+
+
+def test_pitched_rig_auto_falls_back_to_general_splat(synth_root, tmp_path):
+    """A rig with roll/pitch (non-virtualized) must auto-switch the trainer
+    to the general splat and still train."""
+    import warnings
+
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from mm_training_tpu.data.fake_batch import make_fake_batch
+
+    cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True,
+                           batch_size=1, out_path=str(tmp_path / 'o'))
+    assert cfg.get_backbone_conf().factorized_splat
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    batch = make_fake_batch(cfg, batch_size=1, seed=0)
+    # pitch every camera by 3 degrees (about the optical x axis)
+    pitch = np.eye(4)
+    pitch[:3, :3] = Rotation.from_euler('x', 3.0, degrees=True).as_matrix()
+    batch['sensor2ego'] = (batch['sensor2ego'] @ pitch).astype(np.float32)
+    batch['extrinsics'] = np.linalg.inv(batch['sensor2ego']).astype(np.float32)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        tr.init_state(batch)
+    assert any('general (non-factorized) splat' in str(x.message) for x in w)
+    assert not tr.cfg.get_backbone_conf().factorized_splat
+
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    with tr.mesh:
+        tr.state, metrics = tr._train_step(tr.state, device_batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics['train_loss']))
