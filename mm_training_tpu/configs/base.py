@@ -210,6 +210,11 @@ class LidarEncoderConf:
         (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
     out_channels: int = 256
     voxelization: VoxelizationConf = field(default_factory=VoxelizationConf)
+    # 'dense': the TPU-first pillar pyramid below (fast path, fresh training).
+    # 'sparse_import': exact masked-dense replica of the reference's
+    # SparseEncoder (models/sparse_encoder.py) whose weights import 1:1 from
+    # the released checkpoints via torch_import.convert_sparse_encoder.
+    variant: str = 'dense'
     # fold 2x2 pillar blocks into channels before the conv pyramid:
     # information-preserving, and lifts the early low-channel convs off the
     # full 2048x256 grid where they run at ~4% MXU utilization. The /8 BEV

@@ -7,11 +7,12 @@ from .lidar_encoder import LidarBEVEncoder
 from .lss_fpn import LSSFPN
 from .resnet import BasicBlock, Bottleneck, ConvBN, ResNet
 from .second_fpn import SECONDFPN
+from .sparse_encoder import ImportSparseEncoder
 
 __all__ = [
     'ASPP', 'BEVDepthHead', 'BEVDepthLiDAR', 'BEVFuseLayer', 'BasicBlock',
-    'Bottleneck', 'ConvBN', 'DeformConv2d', 'DepthNet', 'LSSFPN',
-    'LidarBEVEncoder', 'Mlp', 'ResNet', 'SECONDFPN', 'SELayer',
+    'Bottleneck', 'ConvBN', 'DeformConv2d', 'DepthNet', 'ImportSparseEncoder',
+    'LSSFPN', 'LidarBEVEncoder', 'Mlp', 'ResNet', 'SECONDFPN', 'SELayer',
     'clip_sigmoid', 'decode_boxes', 'detection_loss', 'get_targets',
     'get_targets_batch',
 ]

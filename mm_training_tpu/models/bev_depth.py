@@ -27,6 +27,7 @@ from .centerpoint_head import BEVDepthHead
 from .fusion import BEVFuseLayer
 from .lidar_encoder import LidarBEVEncoder
 from .lss_fpn import LSSFPN
+from .sparse_encoder import ImportSparseEncoder
 
 __all__ = ['BEVDepthLiDAR']
 
@@ -45,8 +46,11 @@ class BEVDepthLiDAR(nn.Module):
             self.backbone = LSSFPN(cfg.get_backbone_conf(),
                                    bn_axis_name=self.bn_axis_name)
         if cfg.use_lidar:
-            self.lidar_encoder = LidarBEVEncoder(
-                cfg.get_lidar_conf(), pc_range=cfg.point_cloud_range,
+            lconf = cfg.get_lidar_conf()
+            enc_cls = (ImportSparseEncoder if lconf.variant == 'sparse_import'
+                       else LidarBEVEncoder)
+            self.lidar_encoder = enc_cls(
+                lconf, pc_range=cfg.point_cloud_range,
                 voxel_size=cfg.voxel_size, grid_hw=cfg.out_shape,
                 bn_axis_name=self.bn_axis_name)
         if cfg.use_cam and cfg.use_lidar:

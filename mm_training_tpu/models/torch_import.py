@@ -14,9 +14,12 @@ whose state_dicts follow the mmdet/mmdet3d naming of its modules:
   model.head.shared_conv.*        ConvModule (mmdet3d CenterHead)
   model.head.task_heads.{t}.*     SeparateHead branches
   model.bev_fuse.*                BEVFuseLayer (models/bev_depth.py:133-145)
-  model.lidar_encoder.*           spconv SparseEncoder — NOT converted: the
-                                  TPU lidar encoder is architecturally
-                                  different by design (models/lidar_encoder.py)
+  model.lidar_encoder.*           spconv SparseEncoder — converted (z-slice
+                                  extraction, convert_sparse_encoder) when the
+                                  config selects the import-compatible
+                                  encoder (LidarEncoderConf.variant ==
+                                  'sparse_import'); skipped for the TPU-first
+                                  dense encoder (models/lidar_encoder.py)
 
 Each converter maps one torch module family into the flax params/batch_stats
 trees of the corresponding module here. Conv kernels transpose OIHW -> HWIO
@@ -34,7 +37,7 @@ import numpy as np
 
 __all__ = ['convert_torchvision_resnet', 'convert_mmdet_resnet',
            'convert_second_fpn', 'convert_depth_net', 'convert_separate_head',
-           'convert_bev_head', 'convert_fuse_layer',
+           'convert_bev_head', 'convert_fuse_layer', 'convert_sparse_encoder',
            'convert_reference_checkpoint', 'load_torch_state_dict',
            'merge_pretrained_backbone', 'merge_subtree']
 
@@ -299,13 +302,69 @@ def convert_fuse_layer(state_dict: Dict[str, np.ndarray], prefix: str = ''
                        'bias': sd['conv_1.bias']}}
 
 
+def convert_sparse_encoder(state_dict: Dict[str, np.ndarray],
+                           encoder_channels=((16, 16, 32), (32, 32, 64),
+                                             (64, 64, 128), (128, 128)),
+                           prefix: str = '') -> Tuple[Dict, Dict]:
+    """mmdet3d SparseEncoder (conf_aim.py:202-212, torch keys
+    ``conv_input.{0,1}`` / ``encoder_layers.encoder_layer{i}.{j}[...]`` /
+    ``conv_out.{0,1}``) -> models.sparse_encoder.ImportSparseEncoder trees.
+
+    mmcv/spconv-1.x sparse conv weights are laid out ``[kd, kh, kw, I, O]``,
+    so the z-slice at the active tap is already HWIO. Tap selection follows
+    the single-occupied-z-plane reduction (see models/sparse_encoder.py):
+    the central slice (kd=1) for submanifold convs and the z-padded strided
+    convs of stages 0-1, slice kd=0 for stage-2's strided conv
+    (encoder_paddings z-pad 0) and conv_out (kernel (3,1,1), padding 0).
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    def conv_slice(name, tap):
+        w = sd[f'{name}.weight']
+        assert w.ndim == 5, f'{name}: expected sparse [kd,kh,kw,I,O], got ' \
+                            f'{w.shape}'
+        return np.ascontiguousarray(w[min(tap, w.shape[0] - 1)])
+
+    def unit(name, tap):  # one make_sparse_convmodule (conv .0 + BN .1)
+        bn_p, bn_s = _bn(sd, f'{name}.1')
+        return ({'conv': {'kernel': conv_slice(f'{name}.0', tap)}, 'bn': bn_p},
+                {'bn': bn_s})
+
+    params, stats = {}, {}
+    params['conv_input'], stats['conv_input'] = unit('conv_input', 1)
+    n_stages = len(encoder_channels)
+    # z-pad per strided conv from the reference encoder_paddings
+    # ((0,0,1), (0,0,1), (0,0,[0,1,1]), (0,0)): stages 0-1 pad z, stage 2
+    # does not. Generalized: the LAST strided stage in the chain uses tap 0.
+    for si, stage in enumerate(encoder_channels):
+        has_down = si < n_stages - 1
+        for j in range(len(stage) - (1 if has_down else 0)):
+            pref = f'encoder_layers.encoder_layer{si + 1}.{j}'
+            p = {'conv1': {'kernel': conv_slice(f'{pref}.conv1', 1)},
+                 'conv2': {'kernel': conv_slice(f'{pref}.conv2', 1)}}
+            s = {}
+            p['bn1'], s['bn1'] = _bn(sd, f'{pref}.bn1')
+            p['bn2'], s['bn2'] = _bn(sd, f'{pref}.bn2')
+            params[f'stage{si}_block{j}'] = p
+            stats[f'stage{si}_block{j}'] = s
+        if has_down:
+            tap = 0 if si == n_stages - 2 else 1
+            params[f'stage{si}_down'], stats[f'stage{si}_down'] = unit(
+                f'encoder_layers.encoder_layer{si + 1}.{len(stage) - 1}', tap)
+    params['conv_out'], stats['conv_out'] = unit('conv_out', 0)
+    return params, stats
+
+
 def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg
                                  ) -> Tuple[Dict, Dict]:
     """Full reference checkpoint -> (params, batch_stats) trees covering
-    every shared-architecture module of BEVDepthLiDAR: the LSSFPN camera
-    branch (img_backbone / img_neck / depth_net), the head, and the fuse
-    layer. The lidar encoder is intentionally absent (architecturally
-    different on TPU; retrain or distill — see models/lidar_encoder.py).
+    every module of BEVDepthLiDAR: the LSSFPN camera branch (img_backbone /
+    img_neck / depth_net), the head, the fuse layer, and — when the config
+    selects the import-compatible encoder (LidarEncoderConf.variant ==
+    'sparse_import') — the SparseEncoder lidar branch. With the TPU-first
+    dense lidar encoder the lidar keys are skipped (architecturally
+    different; retrain or distill — see models/lidar_encoder.py).
 
     state_dict keys may carry the Lightning 'model.' prefix
     (load_torch_state_dict strips it)."""
@@ -328,6 +387,12 @@ def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg
     if cfg.use_cam and cfg.use_lidar and any(
             k.startswith('bev_fuse.') for k in sd):
         params['bev_fuse'] = convert_fuse_layer(sd, prefix='bev_fuse.')
+    lconf = cfg.get_lidar_conf()
+    if (cfg.use_lidar and lconf.variant == 'sparse_import'
+            and any(k.startswith('lidar_encoder.') for k in sd)):
+        params['lidar_encoder'], stats['lidar_encoder'] = \
+            convert_sparse_encoder(sd, lconf.encoder_channels,
+                                   prefix='lidar_encoder.pts_middle_encoder.')
     return params, stats
 
 

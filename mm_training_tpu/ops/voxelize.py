@@ -27,7 +27,8 @@ __all__ = ['voxelize_pillars_dense']
 def voxelize_pillars_dense(points: jnp.ndarray, mask: jnp.ndarray,
                            pc_range, voxel_size, grid_hw: Tuple[int, int],
                            num_features: int = 5,
-                           max_points_per_voxel: Optional[int] = None) -> jnp.ndarray:
+                           max_points_per_voxel: Optional[int] = None,
+                           return_count: bool = False) -> jnp.ndarray:
     """Mean-pool padded points into a dense pillar grid.
 
     Args:
@@ -41,10 +42,13 @@ def voxelize_pillars_dense(points: jnp.ndarray, mask: jnp.ndarray,
       num_features: how many leading features the VFE averages (conf_aim.py:200).
       max_points_per_voxel: if set, average only the first K points (in input
         order) of each pillar, bit-matching mmdet3d's hard voxelizer.
+      return_count: also return the [ny, nx, 1] per-pillar point count (the
+        capped count when max_points_per_voxel is set) — count > 0 is the
+        sparse-encoder active-site mask.
 
     Returns:
       [ny, nx, num_features] dense grid of per-pillar mean features
-      (empty pillars are zero).
+      (empty pillars are zero); plus the count grid if return_count.
     """
     ny, nx = grid_hw
     g = ny * nx
@@ -78,4 +82,7 @@ def voxelize_pillars_dense(points: jnp.ndarray, mask: jnp.ndarray,
     rows = jnp.concatenate([feats * w[:, None], w[:, None]], axis=1)
     agg = jax.ops.segment_sum(rows, seg, num_segments=g + 1)
     mean = agg[:g, :num_features] / jnp.maximum(agg[:g, num_features:], 1.0)
-    return mean.reshape(ny, nx, num_features)
+    mean = mean.reshape(ny, nx, num_features)
+    if return_count:
+        return mean, agg[:g, num_features:].reshape(ny, nx, 1)
+    return mean

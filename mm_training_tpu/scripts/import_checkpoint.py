@@ -6,9 +6,11 @@ via models/torch_import, grafts it onto a freshly initialized model, runs a
 forward smoke test, and (optionally) writes an orbax checkpoint that
 ``Trainer.restore`` / ``Config.ckpt_path`` can load directly.
 
-The lidar encoder is architecturally different by design and is NOT
-converted (models/lidar_encoder.py) — camera-only checkpoints import fully;
-lidar-involving combos start that branch from init (retrain/distill).
+By default the import selects the import-compatible lidar encoder
+(LidarEncoderConf.variant='sparse_import', models/sparse_encoder.py) so ALL
+reference modules — including the spconv SparseEncoder — convert with zero
+skipped weights. Pass --lidar-variant dense to keep the TPU-first dense
+encoder instead (lidar branch then starts from init; retrain/distill).
 
 Usage:
     python -m mm_training_tpu.scripts.import_checkpoint \
@@ -39,13 +41,18 @@ def import_checkpoint(ckpt_path: str, cfg, out: str = None,
     sd = load_torch_state_dict(ckpt_path)
     params, stats = convert_reference_checkpoint(sd, cfg)
 
+    lidar_imported = (cfg.use_lidar
+                      and cfg.get_lidar_conf().variant == 'sparse_import')
     known = ('backbone.', 'head.', 'bev_fuse.')
     report = {
         'checkpoint': ckpt_path,
         'source_keys': len(sd),
         'converted_leaves': len(jax.tree_util.tree_leaves((params, stats))),
+        'lidar_encoder': 'converted (sparse_import)' if lidar_imported
+                         else 'skipped (dense TPU encoder)',
         'skipped_lidar_encoder_keys':
-            sum(k.startswith('lidar_encoder.') for k in sd),
+            0 if lidar_imported
+            else sum(k.startswith('lidar_encoder.') for k in sd),
         'skipped_dead_context_se_keys':
             sum('.context_se.' in k for k in sd),
         'unrecognized_keys': sorted(
@@ -95,11 +102,20 @@ def main(argv=None):
     p.add_argument('--out', default=None,
                    help='write an orbax checkpoint loadable via ckpt_path')
     p.add_argument('--no-smoke', action='store_true')
+    p.add_argument('--lidar-variant', default='sparse_import',
+                   choices=['sparse_import', 'dense'],
+                   help='lidar encoder: sparse_import converts the reference '
+                        'SparseEncoder weights exactly; dense keeps the '
+                        'TPU-first encoder (lidar branch from init)')
     p.add_argument('overrides', nargs='*')
     args = p.parse_args(argv)
 
     cli = parse_args(['--config', args.config] + list(args.overrides))
     cfg = build_config(cli)
+    if cfg.use_lidar:
+        import dataclasses as _dc
+        cfg = cfg.replace(lidar_conf=_dc.replace(
+            cfg.get_lidar_conf(), variant=args.lidar_variant))
     report = import_checkpoint(args.ckpt, cfg, out=args.out,
                                smoke=not args.no_smoke)
     print(json.dumps(report, indent=2))

@@ -7,7 +7,7 @@ from mm_training_tpu.configs import tiny_test_config
 from mm_training_tpu.scripts.import_checkpoint import import_checkpoint
 
 
-def _reference_ckpt(tmp_path, cfg):
+def _reference_ckpt(tmp_path, cfg, with_lidar=False):
     from tests.test_models.test_activation_parity import (TBEVHead, TDepthNet,
                                                           TFuse, TResNet,
                                                           TSECONDFPN)
@@ -35,9 +35,17 @@ def _reference_ckpt(tmp_path, cfg):
             self.bev_fuse = TFuse(cfg.fuse_layer_in_channels)
 
     torch.manual_seed(0)
+    sd = {f'model.{k}': v for k, v in TModel().state_dict().items()}
+    if with_lidar:
+        # spconv SparseEncoder keys in exact mmdet3d naming + [kd,kh,kw,I,O]
+        # layout (golden-tested in tests/test_models/test_sparse_encoder.py)
+        from tests.test_models.test_sparse_encoder import _make_state_dict
+        lsd = _make_state_dict(np.random.default_rng(0))
+        pre = 'model.lidar_encoder.pts_middle_encoder.'
+        sd.update({pre + k: torch.from_numpy(np.asarray(v, np.float32))
+                   for k, v in lsd.items()})
     path = str(tmp_path / 'reference.ckpt')
-    torch.save({'state_dict': {f'model.{k}': v for k, v in
-                               TModel().state_dict().items()}}, path)
+    torch.save({'state_dict': sd}, path)
     return path
 
 
@@ -65,3 +73,21 @@ def test_import_checkpoint_roundtrip(tmp_path):
     tr.init_state(next(iter(tr.loader('val'))))  # restores from ckpt_path
     # imported conv kernels replaced the init (non-zero diff vs fresh seed)
     assert int(tr.state.step) == 0
+
+
+def test_import_checkpoint_full_lrc_zero_skipped(tmp_path):
+    """With the import-compatible sparse lidar encoder an L+R+C-shaped
+    checkpoint converts with ZERO skipped weights (VERDICT r2 item 1)."""
+    import dataclasses
+
+    from mm_training_tpu.configs import LidarEncoderConf, VoxelizationConf
+    cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True)
+    cfg = cfg.replace(lidar_conf=LidarEncoderConf(
+        variant='sparse_import',
+        voxelization=VoxelizationConf(max_num_points=8, max_voxels=1024)))
+    ckpt = _reference_ckpt(tmp_path, cfg, with_lidar=True)
+    report = import_checkpoint(ckpt, cfg)
+    assert report['forward_smoke'] == 'ok'
+    assert report['unrecognized_keys'] == []
+    assert report['skipped_lidar_encoder_keys'] == 0
+    assert report['lidar_encoder'] == 'converted (sparse_import)'
