@@ -205,14 +205,19 @@ def get_targets_batch(conf: HeadConf, gt_boxes, gt_labels, gt_mask):
 
 # -------------------------------------------------------------------- losses
 
-def gaussian_focal_loss(pred, target, avg_factor, alpha=2.0, gamma=4.0):
-    """mmdet GaussianFocalLoss with reduction='mean' + avg_factor."""
+def gaussian_focal_loss(pred, target, avg_factor, alpha=2.0, gamma=4.0,
+                        weight=None):
+    """mmdet GaussianFocalLoss with reduction='mean' + avg_factor.
+    ``weight`` (broadcastable to pred) masks eval-padding samples."""
     eps = 1e-12
     pos = (target == 1.0).astype(pred.dtype)
     neg_weights = jnp.power(1.0 - target, gamma)
     pos_loss = -jnp.log(pred + eps) * jnp.power(1 - pred, alpha) * pos
     neg_loss = -jnp.log(1 - pred + eps) * jnp.power(pred, alpha) * neg_weights * (1 - pos)
-    return (pos_loss + neg_loss).sum() / avg_factor
+    loss = pos_loss + neg_loss
+    if weight is not None:
+        loss = loss * weight
+    return loss.sum() / avg_factor
 
 
 def _pmean(x, axis_name: Optional[str]):
@@ -222,21 +227,28 @@ def _pmean(x, axis_name: Optional[str]):
 
 
 def detection_loss(conf: HeadConf, targets, preds: List[Dict[str, jnp.ndarray]],
-                   axis_name: Optional[str] = None):
+                   axis_name: Optional[str] = None,
+                   sample_mask: Optional[jnp.ndarray] = None):
     """Total detection loss (bev_depth_head.py:256-312).
 
     targets: batched (heatmaps, anno_boxes, inds, masks) from
       get_targets_batch — heatmaps[t] is [B, C_t, H, W].
     preds:   list over tasks of NHWC head maps.
+    sample_mask: optional [B] validity — padded eval samples (loader
+      pad_last) are excluded from every sum and normalizer, so the loss of
+      a padded batch equals the loss of its valid prefix exactly.
     """
     heatmaps, anno_boxes, inds, masks = targets
+    sm = None if sample_mask is None else sample_mask.astype(jnp.float32)
     total = 0.0
     for t, pred in enumerate(preds):
         hm_pred = clip_sigmoid(pred['heatmap'])                  # [B, H, W, C]
         hm_tgt = jnp.transpose(heatmaps[t], (0, 2, 3, 1))        # NCHW->NHWC
-        num_pos = (hm_tgt == 1.0).sum().astype(jnp.float32)
+        pos = (hm_tgt == 1.0).astype(jnp.float32)
+        hm_w = None if sm is None else sm[:, None, None, None]
+        num_pos = (pos if hm_w is None else pos * hm_w).sum()
         cls_avg = jnp.maximum(_pmean(num_pos, axis_name), 1.0)
-        loss_hm = gaussian_focal_loss(hm_pred, hm_tgt, cls_avg)
+        loss_hm = gaussian_focal_loss(hm_pred, hm_tgt, cls_avg, weight=hm_w)
 
         anno_pred = jnp.concatenate(
             [pred['reg'], pred['height'], pred['dim'], pred['rot'], pred['vel']],
@@ -246,8 +258,9 @@ def detection_loss(conf: HeadConf, targets, preds: List[Dict[str, jnp.ndarray]],
         gathered = jnp.take_along_axis(flat, inds[t][..., None], axis=1)
 
         tgt = anno_boxes[t]                                      # [B, K, 10]
-        m = masks[t][..., None] * jnp.isfinite(tgt).astype(jnp.float32)
-        num = masks[t].sum()
+        obj_m = masks[t] if sm is None else masks[t] * sm[:, None]
+        m = obj_m[..., None] * jnp.isfinite(tgt).astype(jnp.float32)
+        num = obj_m.sum()
         avg = jnp.maximum(_pmean(num, axis_name), 1e-4)
         cw = jnp.asarray(conf.train_cfg.code_weights, jnp.float32)
         tgt_safe = jnp.where(jnp.isfinite(tgt), tgt, 0.0)

@@ -110,3 +110,29 @@ def test_eval_step_decodes_fixed_shapes():
     cap = cfg.get_head_conf().test_cfg.post_max_size * n_tasks
     assert boxes.shape == (cfg.batch_size, cap, 9)
     assert scores.shape == labels.shape == valid.shape == (cfg.batch_size, cap)
+
+
+@pytest.mark.parametrize('modalities', [
+    dict(use_cam=False, use_lidar=True, use_radar=True),
+    dict(use_cam=True, use_lidar=True, use_radar=True),
+])
+def test_eval_step_padded_batch_loss_exact(modalities):
+    """A pad_last eval batch (sample_valid marking the padded tail) yields
+    EXACTLY the losses of its valid prefix — padded duplicates are excluded
+    from every sum and normalizer (VERDICT r2 weak #6). The padded slots
+    carry a DIFFERENT sample here, so any leakage would shift the loss."""
+    cfg = tiny_test_config(batch_size=2, **modalities)
+    model, tx, state, small = _setup(cfg)
+
+    cfg4 = cfg.replace(batch_size=4)
+    other = {k: jnp.asarray(v) for k, v in
+             make_fake_batch(cfg4, seed=123).items()}
+    padded = {k: jnp.concatenate([small[k], other[k][2:]], axis=0)
+              for k in small}
+    padded['sample_valid'] = jnp.asarray([True, True, False, False])
+
+    m_small, _, _ = make_eval_step(cfg, model)(state, small)
+    m_padded, _, _ = make_eval_step(cfg4, model)(state, padded)
+    for k in ('detection_loss', 'depth_loss', 'loss'):
+        np.testing.assert_allclose(float(m_padded[k]), float(m_small[k]),
+                                   rtol=1e-5, err_msg=k)
