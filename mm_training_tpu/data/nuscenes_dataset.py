@@ -15,16 +15,19 @@ dataset families. Differences from the reference, by design:
   * samples are padded to fixed shapes (max_objs; zero cameras padded) for
     XLA.
 
-Depth ground truth: the LIDAR_TOP frame (plus egomotion-compensated sweeps,
-nusc_mv_det_dataset.py:506-535) is loaded into the padded 'points' array, so
-the train step's on-device projection produces real depth labels — this
-covers the same need as the reference's precomputed depth-GT files
-(nusc_mv_det_dataset.py:387-396) without an ida-coupled file pipeline
-(labels are projected through the aug-folded intrinsics, so they are always
-aligned; ``Config.depth_gt_root`` grids are an aiMotive-path feature).
-Missing lidar files yield an empty (masked-out) cloud — camera-only
-training then has a degenerate depth loss, matching the reference when its
-depth files are absent.
+Depth ground truth, two sources:
+  * on-device projection: the LIDAR_TOP frame (plus egomotion-compensated
+    sweeps, nusc_mv_det_dataset.py:506-535) is loaded into the padded
+    'points' array and the train step projects it through the aug-folded
+    intrinsics — always aligned, no file pipeline.
+  * precomputed bins (``Config.depth_gt_root``): reference-format
+    ``depth_gt/<image>.bin`` (u, v, depth) lists written by
+    scripts/gen_depth_gt.py --dataset nuscenes are mapped through the
+    sampled ida and rasterized per item (_load_depth_gt) — the
+    nusc_mv_det_dataset.py:387-396 path. This is what gives camera-only
+    training (no lidar files at train time) a real depth loss.
+With neither lidar files nor depth bins, the depth loss is degenerate —
+matching the reference when its depth files are absent.
 """
 from __future__ import annotations
 
@@ -121,7 +124,12 @@ class NuscMVDetDataset:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
-        if self.use_cbgs:  # fresh resample each epoch, like the reference
+        # Deliberate improvement over the reference: _get_sample_indices
+        # samples the CBGS indices ONCE at construction
+        # (nusc_mv_det_dataset.py:212-245); resampling each epoch decorrelates
+        # the duplication noise. Note the per-epoch dataset length can drift
+        # slightly vs the epoch-0 length used for the LR schedule.
+        if self.use_cbgs:
             self.idx_map = self._cbgs_indices()
 
     # ------------------------------------------------------------------- ida
@@ -157,6 +165,32 @@ class NuscMVDetDataset:
             f[0, 3] = fW - 1
             m = f @ m
         return m
+
+    def _load_depth_gt(self, filename, resize, crop, flip) -> np.ndarray:
+        """Read the precomputed (u, v, depth) bin for this camera image
+        (scripts/gen_depth_gt.py --dataset nuscenes; reference format
+        ``depth_gt/<image_basename>.bin``), apply the sampled ida to the
+        image points (depth_transform, nusc_mv_det_dataset.py:106-151), and
+        rasterize to the [fH/ds, fW/ds] min-depth grid the train step's
+        ``depth_gt`` path consumes (train_step.py)."""
+        from ..scripts.gen_depth_gt import uvd_to_depth_grid
+        cfg = self.cfg
+        fH, fW = cfg.final_dim
+        ds = cfg.get_backbone_conf().downsample_factor
+        path = os.path.join(cfg.depth_gt_root, 'depth_gt',
+                            os.path.split(filename)[-1] + '.bin')
+        if not os.path.isfile(path):
+            raise FileNotFoundError(
+                f'depth_gt_root is set but {path} is missing — run '
+                'mm_training_tpu.scripts.gen_depth_gt --dataset nuscenes '
+                'first')
+        uvd = np.fromfile(path, np.float32).reshape(-1, 3).astype(np.float64)
+        u = uvd[:, 0] * resize - crop[0]
+        v = uvd[:, 1] * resize - crop[1]
+        if flip:
+            u = (fW - 1) - u
+        return uvd_to_depth_grid(np.stack([u, v, uvd[:, 2]], -1), (fH, fW),
+                                 downsample=ds)
 
     def _load_image(self, filename, resize, crop, flip):
         fH, fW = self.cfg.final_dim
@@ -268,10 +302,16 @@ class NuscMVDetDataset:
             ida_params[cam] = self._sample_ida(rng, src_hw)
 
         sweeps_imgs, sweeps_s2e, sweeps_intr, sweeps_extr = [], [], [], []
+        depth_grids = []
         for sinfo in sweep_infos:
             imgs, s2e, intr, extr = [], [], [], []
             for cam in self.cams:
                 rec = sinfo['cam_infos'].get(cam) or info['cam_infos'].get(cam)
+                # a camera present only in an older sweep has no ida sample
+                # (and would make per-sweep camera counts diverge): skip it
+                # everywhere, consistently with the key frame
+                if cam not in ida_params:
+                    continue
                 if rec is None:
                     continue
                 calib = rec['calibrated_sensor']
@@ -295,6 +335,12 @@ class NuscMVDetDataset:
                 s2e.append(sensor2ego.astype(np.float32))
                 extr.append(np.linalg.inv(sensor2ego).astype(np.float32))
                 intr.append(k4.astype(np.float32))
+                if cfg.depth_gt_root and sinfo is info:
+                    # precomputed (u, v, depth) bins, mapped through THIS
+                    # sample's ida and rasterized — the reference's
+                    # depth_transform path (nusc_mv_det_dataset.py:387-396)
+                    depth_grids.append(self._load_depth_gt(
+                        rec['filename'], resize, crop, flip))
             sweeps_imgs.append(imgs)
             sweeps_s2e.append(s2e)
             sweeps_intr.append(intr)
@@ -372,4 +418,6 @@ class NuscMVDetDataset:
                            if extr else np.eye(4, dtype=np.float32)[None, None]),
             'path': info.get('sample_token', str(index)),
         }
+        if cfg.depth_gt_root and depth_grids:
+            sample['depth_gt'] = np.stack(depth_grids)  # [N, fh, fw]
         return sample

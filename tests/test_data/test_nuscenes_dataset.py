@@ -24,11 +24,19 @@ def _make_fixture(root, n_samples=3):
             if cv2 is not None:
                 cv2.imwrite(os.path.join(root, fname),
                             rng.integers(0, 255, (96, 160, 3), np.uint8))
+            # true optical-convention rotation (camera z = viewing
+            # direction, x right, y down), yawed 0 / 180 deg in ego
             yaw = 0.0 if cam == 'CAM_FRONT' else np.pi
+            from scipy.spatial.transform import Rotation as _R
+            r_opt = np.asarray([[0.0, 0.0, 1.0],
+                                [-1.0, 0.0, 0.0],
+                                [0.0, -1.0, 0.0]])  # cam axes in ego
+            r = _R.from_euler('z', yaw).as_matrix() @ r_opt
+            qx, qy, qz, qw = _R.from_matrix(r).as_quat()
             cam_infos[cam] = {
                 'filename': fname, 'height': 96, 'width': 160,
                 'calibrated_sensor': {
-                    'rotation': [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)],
+                    'rotation': [qw, qx, qy, qz],
                     'translation': [1.5 * (1 if ci == 0 else -1), 0.0, 1.6],
                     'camera_intrinsic': [[100.0, 0, 80], [0, 100.0, 48],
                                          [0, 0, 1]],
@@ -270,3 +278,70 @@ def test_nuscenes_eval_mode_center_crop(tmp_path):
                           is_train=False, cams=('CAM_FRONT', 'CAM_BACK'))
     s = ds[0]
     np.testing.assert_allclose(s['bda_mat'], np.eye(4))  # no aug at eval
+
+
+def test_nuscenes_depth_gt_pipeline(tmp_path):
+    """VERDICT r2 item 4: gen_depth_gt --dataset nuscenes writes reference-
+    format (u,v,depth) bins -> the dataset maps them through the sampled ida
+    and emits 'depth_gt' grids -> a camera-only train step WITHOUT any lidar
+    files gets a real (non-degenerate) depth loss."""
+    import jax
+    import jax.numpy as jnp
+    from mm_training_tpu.data.aimotive_dataset import collate_aim
+    from mm_training_tpu.models import BEVDepthLiDAR
+    from mm_training_tpu.scripts.gen_depth_gt import main as gen_main
+    from mm_training_tpu.training.optim import make_optimizer
+    from mm_training_tpu.training.train_step import (create_train_state,
+                                                     make_train_step)
+
+    root = str(tmp_path)
+    info_path = _make_fixture(root)
+    gen_main(['--dataset', 'nuscenes', '--data-root', root, '--out', root,
+              '--split', 'train', '--workers', '1'])
+    bins = sorted(os.listdir(os.path.join(root, 'depth_gt')))
+    assert bins == sorted(f'{c}_{i}.jpg.bin' for c in ('CAM_FRONT', 'CAM_BACK')
+                          for i in range(3))
+    # the fixture's points are all forward: the front camera sees them,
+    # the back camera correctly gets an empty list
+    uvd = np.fromfile(os.path.join(root, 'depth_gt', 'CAM_FRONT_0.jpg.bin'),
+                      np.float32).reshape(-1, 3)
+    assert len(uvd) > 0 and (uvd[:, 2] > 0).all()
+
+    # delete the lidar bins: train-time camera-only data, the exact case the
+    # precomputed bins exist for (reference nusc_mv_det_dataset.py:387-396)
+    for f in os.listdir(os.path.join(root, 'samples')):
+        if f.startswith('LIDAR'):
+            os.remove(os.path.join(root, 'samples', f))
+    import shutil
+    shutil.rmtree(os.path.join(root, 'sweeps'))
+
+    cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
+                           H=64, W=128, num_cameras=2, batch_size=2,
+                           depth_gt_root=root)
+    ds = NuscMVDetDataset(info_path, cfg, data_root=root, is_train=True,
+                          cams=('CAM_FRONT', 'CAM_BACK'))
+    s = ds[0]
+    assert s['depth_gt'].shape == (2, 4, 8)  # [N, fH/16, fW/16]
+    assert (s['depth_gt'] > 0).any()
+    assert not s['point_mask'].any()  # no lidar at train time
+
+    batch = collate_aim([ds[0], ds[1]])
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'path'}
+    model = BEVDepthLiDAR(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    mb = dict(batch)
+    b, sw, n = batch['imgs'].shape[:3]
+    mb['flipped'] = jnp.zeros((b * sw * n,), bool)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), mb)
+    step = make_train_step(cfg, model, tx)
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['train_loss']))
+    assert float(metrics['train_depth_loss']) > 0
+
+    # non-degeneracy proof: without the precomputed grids (and with no
+    # lidar) the labels are all-zero — the loss must be DIFFERENT with the
+    # real grids (the all-true-fg quirk makes '>0' alone too weak a check)
+    batch_no = {k: v for k, v in batch.items() if k != 'depth_gt'}
+    _, metrics_no = step(state, batch_no, jax.random.PRNGKey(1))
+    assert (abs(float(metrics['train_depth_loss'])
+                - float(metrics_no['train_depth_loss'])) > 1e-4)
