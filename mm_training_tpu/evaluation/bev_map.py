@@ -1,4 +1,4 @@
-"""BEV mAP evaluator (host-side numpy).
+"""BEV mAP evaluator.
 
 Re-design of utils/eval.py: axis-aligned-BEV-box AP at IoU 0.3 within
 x <= 204.8 m, with Hungarian-on-score matching (default), PR-curve AUC and
@@ -6,6 +6,13 @@ x <= 204.8 m, with Hungarian-on-score matching (default), PR-curve AUC and
 class accuracy over matched pairs, and AOS yaw similarity. The public surface
 (``MAPCalculator.update`` / ``compute_bev``) matches the reference
 (utils/eval.py:666-723) so the trainer logs the same metric names.
+
+Array backend: like the reference's eval.py (which routes through
+utils/universal to accept torch OR numpy, eval.py:11), the box/sort/merge
+math here goes through utils/universal and accepts numpy or jax arrays —
+decode outputs can be fed without a host conversion pass. The Hungarian
+assignment (scipy) and the PR-curve scalar math are inherently host-side
+and normalize to numpy at their boundary.
 """
 from __future__ import annotations
 
@@ -15,6 +22,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
+from ..utils import universal as U
 from ..utils import universal
 
 __all__ = ['MAPCalculator', 'evaluate_ap', 'box_iou_aabb', 'obj2arrays_bev',
@@ -29,13 +37,14 @@ def box_iou_aabb(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
     n, m = b1.shape[0], b2.shape[0]
     if n == 0 or m == 0:
         return np.zeros((n, m), np.float32)
-    lt = np.maximum(b1[:, None, :2], b2[None, :, :2])
-    rb = np.minimum(b1[:, None, 2:4], b2[None, :, 2:4])
-    wh = np.clip(rb - lt, 0, None)
+    lt = U.maximum(b1[:, None, :2], b2[None, :, :2])
+    rb = U.minimum(b1[:, None, 2:4], b2[None, :, 2:4])
+    wh = U.clip(rb - lt, 0, None)
     inter = wh[..., 0] * wh[..., 1]
     a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
     a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
-    return inter / np.maximum(a1[:, None] + a2[None, :] - inter, 1e-12)
+    iou = inter / U.maximum(a1[:, None] + a2[None, :] - inter, 1e-12)
+    return U.to_numpy(iou)  # the Hungarian matchers are host-side scipy
 
 
 # ------------------------------------------------------------------ matchers
@@ -108,8 +117,8 @@ _ASSIGN = {'scoresort': assign_scoresort, 'hunscore': assign_hunscore,
 
 # ------------------------------------------------------------------- AP math
 
-def calc_recall_precision(correct: np.ndarray, n_gt: int):
-    cum = np.cumsum(correct).astype(np.float32)
+def calc_recall_precision(correct, n_gt: int):
+    cum = U.to_numpy(U.to_float(U.cumsum(correct)))
     recs = cum / max(n_gt, 1e-12)
     precs = cum / np.arange(1, len(correct) + 1)
     return recs, precs
@@ -165,7 +174,8 @@ def obj2arrays_bev(objects: np.ndarray, classes, scores=None, name=None,
                    needs_score=False, x_range=200.0) -> Dict[str, np.ndarray]:
     """[K, 7+] boxes -> dict of AABB bev boxes/class/yaw/img_name, filtered to
     |x| <= x_range (eval.py:626-663; yaw is reported in degrees there)."""
-    objects = np.asarray(objects, np.float32).reshape(-1, objects.shape[-1] if len(objects) else 9)
+    objects = U.to_numpy(objects).astype(np.float32)
+    objects = objects.reshape(-1, objects.shape[-1] if len(objects) else 9)
     if len(objects) == 0:
         out = {'class': np.zeros((0,), np.int64),
                'bbox': np.zeros((0, 4), np.float32),
@@ -176,28 +186,29 @@ def obj2arrays_bev(objects: np.ndarray, classes, scores=None, name=None,
         return out
     x, y = objects[:, 0], objects[:, 1]
     l, w = objects[:, 3], objects[:, 4]
-    bbox = np.stack([x - l / 2, y - w / 2, x + l / 2, y + w / 2], -1)
+    bbox = U.stack([x - l / 2, y - w / 2, x + l / 2, y + w / 2], -1)
     yaw = np.degrees(objects[:, 6])
-    valid = np.abs(x) <= x_range
-    out = {'class': np.asarray(classes)[valid],
-           'bbox': bbox[valid].astype(np.float32),
+    valid = U.abs(x) <= x_range
+    out = {'class': U.masked_select(U.to_numpy(classes), valid),
+           'bbox': U.masked_select(bbox, valid).astype(np.float32),
            'img_name': np.asarray([name] * len(objects), object)[valid],
-           'yaw': yaw[valid].astype(np.float32)}
+           'yaw': U.masked_select(yaw, valid).astype(np.float32)}
     if needs_score:
-        out['score'] = np.asarray(scores, np.float32)[valid]
+        out['score'] = U.masked_select(
+            U.to_numpy(scores).astype(np.float32), valid)
     return out
 
 
 def _sort_by(d: Dict[str, np.ndarray], key: str, desc=True):
-    idx = np.argsort(d[key])
+    idx = U.to_numpy(U.argsort(d[key], axis=-1))
     if desc:
         idx = idx[::-1]
-    return {k: v[idx] for k, v in d.items()}
+    return {k: U.index_select(v, idx) for k, v in d.items()}
 
 
 def _merge(frames: List[Dict[str, np.ndarray]]):
     keys = frames[0].keys()
-    return {k: np.concatenate([f[k] for f in frames], 0) for k in keys}
+    return {k: U.concatenate([f[k] for f in frames], 0) for k in keys}
 
 
 # ----------------------------------------------------------------- evaluator
@@ -215,15 +226,17 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
 
     if eval_class is not None:
         def filt(d):
-            sel = d['class'] == eval_class
-            return {k: v[sel] for k, v in d.items()}
+            sel = U.to_numpy(d['class'] == eval_class)
+            return {k: U.masked_select(v, sel) for k, v in d.items()}
         gts = [filt(g) for g in gts]
         preds = [filt(p) for p in preds]
 
     assign = _ASSIGN[assign_method]
     for gt, pred in zip(gts, preds):
         ious = box_iou_aabb(gt['bbox'], pred['bbox'])
-        _, pred_assigns = assign(ious, pred.get('score'), iou_th)
+        score = pred.get('score')
+        score = None if score is None else U.to_numpy(score)
+        _, pred_assigns = assign(ious, score, iou_th)
         pa = -np.ones(len(pred['bbox']), np.int32)
         for pk, lst in pred_assigns.items():
             if len(lst) == 1:
@@ -233,8 +246,9 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
         correct = pa != -1
         pred['correct'] = correct
         if val_field is not None:
-            vals = np.zeros(len(pred['bbox']), dtype=gt[val_field].dtype)
-            vals[correct] = gt[val_field][pa[correct]]
+            gt_vals = U.to_numpy(gt[val_field])
+            vals = np.zeros(len(pred['bbox']), dtype=gt_vals.dtype)
+            vals[correct] = gt_vals[pa[correct]]
             pred['assigned_' + val_field] = vals
 
     n_gt = sum(len(g['bbox']) for g in gts)
@@ -258,19 +272,20 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
     if return_curves:
         res['curves'] = {'recall': recs.astype(np.float32),
                          'precision': precs.astype(np.float32),
-                         'score': merged['score'].astype(np.float32)}
+                         'score': U.to_numpy(merged['score']).astype(np.float32)}
     res['recall_2d'] = float(recs[-1])
     res['precision_2d'] = float(precs[-1])
     res['ap_auc'] = calc_ap_auc(recs, precs)
     res['ap_interp'] = calc_ap_interp(recs, precs, n_inter)
 
     if val_field is not None:
-        sims = sim_func(merged[val_field], merged['assigned_' + val_field])
+        sims = U.to_numpy(sim_func(merged[val_field],
+                                   merged['assigned_' + val_field]))
         c = merged['correct']
         res[val_metric_name] = float(np.mean(sims[c])) if np.any(c) else 0.0
 
     if calc_op:
-        op = calc_optimal_op_index(recs, precs, merged['score'])
+        op = calc_optimal_op_index(recs, precs, U.to_numpy(merged['score']))
         if isinstance(op, tuple):
             res['recall_op'] = math.sqrt(recs[op[0]] * recs[op[1]])
             res['precision_op'] = math.sqrt(precs[op[0]] * precs[op[1]])
@@ -284,8 +299,10 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
 
 def cosine_similarity(a_deg, b_deg):
     """AOS yaw similarity, KITTI eqs. 4-5 (eval.py:726-740); inputs degrees."""
-    diff = np.fmod(np.abs(a_deg.astype(np.float64) - b_deg.astype(np.float64)), 360.0)
-    diff = np.where(diff > 180.0, 360.0 - diff, diff)
+    a = U.to_numpy(a_deg).astype(np.float64)
+    b = U.to_numpy(b_deg).astype(np.float64)
+    diff = np.fmod(np.abs(a - b), 360.0)
+    diff = U.where(diff > 180.0, 360.0 - diff, diff)
     return (1.0 + np.cos(np.radians(diff))) / 2.0
 
 

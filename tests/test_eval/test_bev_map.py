@@ -96,3 +96,41 @@ def test_hungarian_resolves_contention_by_score():
     scores = np.asarray([0.2, 0.95], np.float32)
     gt_a, pred_a = assign_hunscore(ious, scores, 0.3)
     assert list(pred_a.keys()) == [1]
+
+
+def test_evaluate_ap_accepts_jax_arrays():
+    """The evaluator routes its array math through utils/universal (the
+    reference's eval.py:11 pattern): device (jax) arrays must produce the
+    same metrics as numpy, with no host pre-conversion by the caller."""
+    import jax.numpy as jnp
+
+    from mm_training_tpu.evaluation.bev_map import evaluate_ap, obj2arrays_bev
+
+    rng = np.random.default_rng(0)
+    boxes = rng.uniform(-50, 50, (6, 9)).astype(np.float32)
+    boxes[:, 3:6] = rng.uniform(2, 5, (6, 3))
+    classes = rng.integers(0, 3, 6)
+    scores = rng.uniform(0.1, 1.0, 6).astype(np.float32)
+
+    gt_np = obj2arrays_bev(boxes[:4], classes[:4], name='f0')
+    pr_np = obj2arrays_bev(boxes, classes, scores, name='f0',
+                           needs_score=True)
+    ref = evaluate_ap([gt_np], [pr_np], val_field='class',
+                      sim_func=lambda a, b: a == b,
+                      val_metric_name='cls_accuracy_bev')
+
+    def jaxify(d):
+        return {k: (jnp.asarray(v) if v.dtype != object else v)
+                for k, v in d.items()}
+
+    got = evaluate_ap([jaxify(gt_np)], [jaxify(pr_np)], val_field='class',
+                      sim_func=lambda a, b: a == b,
+                      val_metric_name='cls_accuracy_bev')
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-6), k
+
+    # per-class filtering exercises the masked_select path
+    ref_c = evaluate_ap([gt_np], [pr_np], eval_class=int(classes[0]))
+    got_c = evaluate_ap([jaxify(gt_np)], [jaxify(pr_np)],
+                        eval_class=int(classes[0]))
+    assert got_c['ap_auc'] == pytest.approx(ref_c['ap_auc'], abs=1e-6)
