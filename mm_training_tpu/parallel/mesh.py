@@ -17,7 +17,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
-           'DATA_AXIS', 'MODEL_AXIS']
+           'process_batch_bounds', 'local_batch_numpy', 'DATA_AXIS',
+           'MODEL_AXIS']
 
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
@@ -46,16 +47,73 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_batch_bounds(mesh: Mesh, global_batch: int):
+    """Rows [lo, hi) of a data-axis-sharded global batch that THIS process's
+    addressable devices hold — the slice its host loader must produce in a
+    multi-process run. Asserts the process's shards are contiguous (true for
+    standard TPU process/device layouts)."""
+    sh = batch_sharding(mesh)
+    imap = sh.devices_indices_map((global_batch,))
+    local = {(s.start or 0, global_batch if s.stop is None else s.stop)
+             for s in (imap[d][0] for d in sh.addressable_devices)}
+    lo = min(s[0] for s in local)
+    hi = max(s[1] for s in local)
+    per = global_batch // mesh.shape[DATA_AXIS]
+    assert (hi - lo) == per * len(local), (
+        'non-contiguous process shards — custom device order not supported '
+        f'by the host loader sharding: {sorted(local)}')
+    return lo, hi
+
+
+def local_batch_numpy(arr):
+    """Batch-sharded global jax.Array -> numpy array of THIS process's rows
+    (global row order). Multi-process hosts cannot fetch rows living on
+    other processes' devices; per-row consumers (mAP accumulation, JSON
+    export, viz) operate on the local slice and pool host-side
+    (multihost.all_gather_object). Model-axis replicas are deduped."""
+    import jax as _jax
+    if not isinstance(arr, _jax.Array) or _jax.process_count() == 1:
+        return np.asarray(arr)
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)
+
+
 def shard_batch(mesh: Mesh, batch, stacked: bool = False):
-    """Device-put a host batch dict with batch-dim sharding (non-arrays pass
-    through untouched). With ``stacked`` the arrays carry a leading K
-    (steps-per-dispatch) axis and the batch dim is axis 1."""
+    """Build the global on-device batch with batch-dim sharding (non-arrays
+    pass through untouched). With ``stacked`` the arrays carry a leading K
+    (steps-per-dispatch) axis and the batch dim is axis 1.
+
+    Single-process: a plain sharded device_put of the full host batch.
+    Multi-process: each host holds only its slice (PrefetchLoader
+    process-sharding, training/loader.py) and the global jax.Array is
+    assembled from the process-local rows — the jax-native equivalent of
+    Lightning's per-rank DistributedSampler feeding (SURVEY §2.4).
+    """
+    multiproc = jax.process_count() > 1
     sh = (NamedSharding(mesh, P(None, DATA_AXIS)) if stacked
           else batch_sharding(mesh))
+    if multiproc:
+        # global/local batch ratio = data columns total / data columns this
+        # process touches (model-axis rows replicate the same batch rows)
+        me = jax.process_index()
+        local_cols = sum(
+            any(d.process_index == me for d in mesh.devices[:, j])
+            for j in range(mesh.devices.shape[1]))
+        scale = mesh.shape[DATA_AXIS] // max(1, local_cols)
 
     def put(x):
-        if isinstance(x, (np.ndarray, jax.Array)):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
+        if not multiproc:
             return jax.device_put(x, sh)
-        return x
+        x = np.asarray(x)
+        axis = 1 if stacked else 0
+        gshape = list(x.shape)
+        gshape[axis] = gshape[axis] * scale
+        return jax.make_array_from_process_local_data(sh, x, tuple(gshape))
 
     return jax.tree_util.tree_map(put, batch)

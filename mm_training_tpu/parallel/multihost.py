@@ -39,6 +39,14 @@ def initialize(coordinator_address: Optional[str] = None,
     except RuntimeError:
         # already initialized — idempotent like torch_dist's guards (:8-14)
         pass
+    # Warm the global collective clique NOW, while every process is still in
+    # lockstep: clique contexts are created lazily at the first collective,
+    # whose rendezvous has a short timeout — a process stuck in a long trace/
+    # compile would otherwise miss it (observed as "Gloo context
+    # initialization failed: DEADLINE_EXCEEDED" on CPU; the TPU ICI path has
+    # the same lazy-first-use shape). The context is cached afterwards.
+    if jax.process_count() > 1:
+        barrier('startup')
 
 
 def process_index() -> int:

@@ -36,10 +36,21 @@ def stack_batches(batches):
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4, pad_last: bool = False):
+                 prefetch: int = 4, pad_last: bool = False,
+                 process_rows: Optional[tuple] = None):
         """With ``pad_last`` (eval loaders), a short trailing batch is padded
         to full size by repeating its last sample and carries an 'n_valid'
-        host-only count — fixed shapes for jit, no dropped eval frames."""
+        host-only count — fixed shapes for jit, no dropped eval frames.
+
+        ``process_rows`` (lo, hi): in a multi-process run, load only rows
+        [lo, hi) of each GLOBAL batch — the per-process dataset sharding
+        (parallel.process_batch_bounds) that replaces Lightning's
+        DistributedSampler. Batch composition (the shuffle RNG) is
+        seed-deterministic, so every process sees the same global index
+        plan and loads a disjoint slice of it. ``batch_size`` stays the
+        GLOBAL batch size; 'n_valid'/'sample_valid' become the local slice
+        while 'n_valid_global' carries the global count for metric
+        weighting."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +59,7 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.pad_last = pad_last
+        self.process_rows = process_rows
         self.epoch = 0
         # one long-lived pool (a per-batch pool would churn threads)
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
@@ -83,10 +95,21 @@ class PrefetchLoader:
                 indices = np.concatenate(
                     [indices, np.repeat(indices[-1:],
                                         self.batch_size - n_valid)])
+            valid_rows = np.arange(self.batch_size) < n_valid
+            if self.process_rows is not None:
+                lo, hi = self.process_rows
+                indices = indices[lo:hi]
+                valid_rows = valid_rows[lo:hi]
             samples = list(self._pool.map(self.dataset.__getitem__, indices))
             batch = collate_aim(samples)
             if self.pad_last:
-                batch['n_valid'] = n_valid
+                # local counts drive per-row consumers (mAP accumulate,
+                # export); the global count weights the pooled loss means
+                batch['n_valid'] = int(valid_rows.sum())
+                batch['n_valid_global'] = n_valid
+                # device-side validity: the eval step excludes padded
+                # duplicates from the loss sums/normalizers exactly
+                batch['sample_valid'] = valid_rows
             return batch
 
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)

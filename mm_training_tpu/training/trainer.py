@@ -30,9 +30,10 @@ from ..core.transforms import yaw_to_quat
 from ..data.aimotive_dataset import AiMotiveDataset
 from ..evaluation import MAPCalculator
 from ..models import BEVDepthLiDAR
-from ..parallel import (all_gather_object, is_main_process, make_mesh,
+from ..parallel import (all_gather_object, barrier, is_main_process,
+                        local_batch_numpy, make_mesh,
                         process_count, shard_batch)
-from ..utils.logging import MetricsLogger
+from ..utils.logging import MetricsLogger, NullLogger
 from ..utils.profiling import StepTimer, profile_trace
 from .loader import PrefetchLoader, stack_batches
 from .optim import make_optimizer
@@ -95,8 +96,9 @@ class Trainer:
         self._datasets = datasets or {}
         self._loaders: Dict[str, PrefetchLoader] = {}
         self.out_path = Path(cfg.output_path)
-        self.logger = MetricsLogger(self.out_path, cfg.experiment_name,
-                                    log_every=cfg.log_every_n_steps)
+        self.logger = (MetricsLogger(self.out_path, cfg.experiment_name,
+                                     log_every=cfg.log_every_n_steps)
+                       if is_main_process() else NullLogger())
         self._ckpt_managers = {}
         self.global_step = 0
 
@@ -119,11 +121,19 @@ class Trainer:
         so no frame is dropped from the metric at any mesh size."""
         if split not in self._loaders:
             train = split == 'train'
+            global_bs = self.cfg.batch_size * self.data_parallel_size
+            rows = None
+            if process_count() > 1:
+                # each process loads only its slice of every global batch
+                # (Lightning DistributedSampler equivalent; shard_batch
+                # assembles the global arrays from the local rows)
+                from ..parallel import process_batch_bounds
+                rows = process_batch_bounds(self.mesh, global_bs)
             self._loaders[split] = PrefetchLoader(
-                self.dataset(split),
-                self.cfg.batch_size * self.data_parallel_size,
+                self.dataset(split), global_bs,
                 shuffle=train, num_workers=self.cfg.num_workers,
-                seed=self.cfg.seed, drop_last=train, pad_last=not train)
+                seed=self.cfg.seed, drop_last=train, pad_last=not train,
+                process_rows=rows)
         return self._loaders[split]
 
     # ---------------------------------------------------------------- setup
@@ -146,9 +156,11 @@ class Trainer:
 
         self.out_path.mkdir(parents=True, exist_ok=True)
         # config snapshot (create_trainer copies conf_aim.py; we dump the
-        # dataclass, mm_training_aim.py:582-583)
-        with open(self.out_path / 'config.json', 'w') as f:
-            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+        # dataclass, mm_training_aim.py:582-583) — rank 0 only: processes
+        # share out_path in a multi-process run
+        if is_main_process():
+            with open(self.out_path / 'config.json', 'w') as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     def init_state(self, sample_batch: Dict[str, np.ndarray], rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -292,7 +304,7 @@ class Trainer:
                 f'steps_per_dispatch={kdisp} exceeds the {len(train_loader)} '
                 'train batches per epoch — every dispatch group would be '
                 'dropped and no step would ever run')
-        step_fn = self._train_step_multi if kdisp > 1 else self._train_step
+        step_attr = '_train_step_multi' if kdisp > 1 else '_train_step'
         timer = StepTimer()
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
@@ -302,6 +314,8 @@ class Trainer:
                 prev_step = self.global_step
                 # mesh context resolves sharding-constraint axis names
                 with self.mesh:
+                    step_fn = self._synced_compile(step_attr, self.state,
+                                                   device_batch, rng)
                     self.state, metrics = step_fn(self.state, device_batch,
                                                   rng)
                 self.global_step = int(self.state.step)  # fetch = step barrier
@@ -348,17 +362,29 @@ class Trainer:
         for bi, (batch, device_batch) in enumerate(
                 self._device_batches(loader, max_batches)):
             with self.mesh:
+                eval_fn = self._synced_compile('_eval_step', self.state,
+                                               device_batch)
                 metrics, (boxes, scores, labels, valid), viz = \
-                    self._eval_step(self.state, device_batch)
+                    eval_fn(self.state, device_batch)
+            # per-row consumers get THIS process's rows only (global rows
+            # are not host-fetchable across processes); all_gather_object
+            # pools the accumulations below
+            boxes, scores, labels, valid = map(
+                local_batch_numpy, (boxes, scores, labels, valid))
             self._accumulate_map(batch, boxes, scores, labels, valid)
             if log and bi == 0:
                 self._log_scene_panel(batch, boxes, scores, labels, valid,
                                       prefix, viz)
             if export:
                 self._export_results(batch, boxes, scores, labels, valid)
+            # weight by valid samples so a padded trailing batch (pad_last)
+            # contributes proportionally, not as a full batch (global count:
+            # the jitted losses already pool over every process's rows)
+            w = int(batch.get('n_valid_global',
+                              batch.get('n_valid', boxes.shape[0])))
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            count += 1
+                agg[k] = agg.get(k, 0.0) + float(v) * w
+            count += w
         out = {f'{prefix}_{k}': v / max(count, 1) for k, v in agg.items()}
         # pool per-host accumulations before computing the metric
         # (replaces torch_dist.all_gather_object, mm_training_aim.py-era DDP)
@@ -433,6 +459,10 @@ class Trainer:
         """Decode the current train batch and log the scene panels
         (reference: wandb Object3D/log_images every 200 train steps,
         mm_training_aim.py:270-284)."""
+        if process_count() > 1:
+            # train-batch signatures differ from the synced-compiled eval
+            # executable; panels still come from the eval batches
+            return
         try:
             if kdisp > 1:  # stacked [K, B, ...]: take the last micro-batch
                 batch = {k: (v[-1] if isinstance(v, np.ndarray) else v)
@@ -442,10 +472,11 @@ class Trainer:
             with self.mesh:
                 _, (boxes, scores, labels, valid), viz = self._eval_step(
                     self.state, device_batch)
-            self._log_scene_panel(batch, boxes, scores, labels, valid,
+            self._log_scene_panel(batch, *map(local_batch_numpy,
+                                              (boxes, scores, labels, valid)),
                                   'train', viz)
-        except Exception:  # viz must never break training
-            pass
+        except Exception as e:  # viz must never break training
+            self._warn_viz_failure(e)
 
     def _log_scene_panel(self, batch, boxes, scores, labels, valid, prefix,
                          viz=None):
@@ -491,18 +522,48 @@ class Trainer:
                                             labels=pred_l)
                 self.logger.log_image(self.global_step, f'{prefix}_cam0',
                                       cam_img)
-        except Exception:  # viz must never break eval
-            pass
+        except Exception as e:  # viz must never break eval
+            self._warn_viz_failure(e)
+
+    def _warn_viz_failure(self, exc: Exception):
+        """Viz panels are best-effort, but a renderer regression should not
+        ship as silently-missing images: surface the first failure."""
+        if not getattr(self, '_viz_warned', False):
+            self._viz_warned = True
+            import traceback
+            import warnings
+            warnings.warn('visualization panel failed (suppressed for the '
+                          'rest of the run): '
+                          + ''.join(traceback.format_exception_only(exc)).strip())
 
     def predict(self, split='val', max_batches=None):
         loader = self.loader(split)
         for batch, device_batch in self._device_batches(loader, max_batches):
             with self.mesh:
-                boxes, scores, labels, valid = self._predict_step(
+                predict_fn = self._synced_compile('_predict_step', self.state,
+                                                  device_batch)
+                boxes, scores, labels, valid = predict_fn(
                     self.state, device_batch)
-            self._export_results(batch, boxes, scores, labels, valid)
+            self._export_results(batch, *map(local_batch_numpy,
+                                             (boxes, scores, labels, valid)))
 
     # -------------------------------------------------------------- helpers
+    def _synced_compile(self, attr: str, *args):
+        """Multi-process only: explicitly compile a jitted step on its first
+        use, then barrier, then return the Compiled executable (cached on
+        the attribute). The CPU-collectives context is created lazily at a
+        program's FIRST execution with a short rendezvous window; a process
+        still stuck compiling would miss it. Compiling first and syncing
+        at the coordination service keeps every rank inside the window.
+        Single-process: returns the jit function untouched."""
+        fn = getattr(self, attr)
+        if process_count() == 1 or not hasattr(fn, 'lower'):
+            return fn
+        compiled = fn.lower(*args).compile()
+        barrier(f'compile:{attr}')
+        setattr(self, attr, compiled)
+        return compiled
+
     def _device_batches(self, loader, max_batches: Optional[int] = None,
                         stack: int = 1):
         """Yield (host_batch, device_batch) with the NEXT transfer already
@@ -565,7 +626,7 @@ class Trainer:
                 json.dump(d, f)
 
 
-_HOST_KEYS = ('path', 'n_valid')
+_HOST_KEYS = ('path', 'n_valid', 'n_valid_global')
 
 
 def _strip(batch):

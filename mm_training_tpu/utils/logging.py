@@ -26,6 +26,24 @@ except ImportError:  # pragma: no cover
 __all__ = ['MetricsLogger']
 
 
+class NullLogger:
+    """Rank>0 logger in multi-process runs: metrics are identical on every
+    process (global-view jit), so only rank 0 writes (Lightning's
+    rank_zero_only logging equivalent)."""
+
+    def log_step(self, step, metrics):
+        pass
+
+    def log_scalar(self, step, name, value):
+        pass
+
+    def log_eval(self, step, metrics):
+        pass
+
+    def log_image(self, step, name, image):
+        pass
+
+
 class MetricsLogger:
     def __init__(self, out_path, experiment_name: str, log_every: int = 50,
                  use_tensorboard: bool = True, use_wandb: bool = False):
