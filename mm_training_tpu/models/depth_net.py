@@ -23,33 +23,18 @@ from .resnet import BasicBlock, ConvBN
 __all__ = ['DepthNet', 'ASPP', 'SELayer', 'Mlp', 'DeformConv2d']
 
 
-def _bilinear_gather(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Sample img [H, W, C] at float positions ys/xs [...] -> [..., C].
-    Zero padding outside."""
-    h, w, _ = img.shape
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = ys - y0
-    wx = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    def tap(yi, xi):
-        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
-        return jnp.where(inb[..., None], v, 0.0)
-
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x0i + 1)
-    v10 = tap(y0i + 1, x0i)
-    v11 = tap(y0i + 1, x0i + 1)
-    top = v00 * (1 - wx)[..., None] + v01 * wx[..., None]
-    bot = v10 * (1 - wx)[..., None] + v11 * wx[..., None]
-    return top * (1 - wy)[..., None] + bot * wy[..., None]
-
-
 class DeformConv2d(nn.Module):
-    """Gather-based deformable 3x3 conv (DCNv1 semantics, deform_groups=1)."""
+    """Gather-based deformable 3x3 conv (DCNv1 semantics, deform_groups=1).
+
+    TPU shape discipline (trace-driven, BASELINE.md round 3): everything
+    flat-2D. The four bilinear corners are gathered as [B, H*W*9, C] row
+    gathers from the flattened [H*W, C] map (out-of-image corners get
+    weight 0 against index-clipped rows — identical zero-padding semantics
+    to sampling with zeros outside), combined on flat rows, and contracted
+    with the kernel over (tap, in-channel) jointly in one grouped
+    dot_general. The earlier [B,H,W,9,C] formulation made XLA materialize
+    ~12-15 ms/step of pure layout copies around the einsum.
+    """
     features: int
     groups: int = 4
 
@@ -62,7 +47,7 @@ class DeformConv2d(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
                           name='conv_offset')(x)                    # [B,H,W,18]
-        offsets = offsets.reshape(b, h, w, nt, 2)
+        offsets = offsets.astype(jnp.float32).reshape(b, h, w, nt, 2)
 
         ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -70,21 +55,49 @@ class DeformConv2d(nn.Module):
         base_dy, base_dx = jnp.meshgrid(ky, ky, indexing='ij')
         base = jnp.stack([base_dy.reshape(-1), base_dx.reshape(-1)], -1)  # [9,2]
 
-        py = ys[None, :, :, None] + base[None, None, None, :, 0] + offsets[..., 0]
-        px = xs[None, :, :, None] + base[None, None, None, :, 1] + offsets[..., 1]
+        py = (ys[None, :, :, None] + base[None, None, None, :, 0]
+              + offsets[..., 0]).reshape(b, h * w * nt)
+        px = (xs[None, :, :, None] + base[None, None, None, :, 1]
+              + offsets[..., 1]).reshape(b, h * w * nt)
 
-        sampled = jax.vmap(_bilinear_gather)(x, py, px)             # [B,H,W,9,C]
+        y0 = jnp.floor(py)
+        x0 = jnp.floor(px)
+        wy = py - y0
+        wx = px - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+
+        # four flat row gathers, one per bilinear corner. (A corner-PAIR
+        # [2, C]-slice lax.gather variant was measured 8x SLOWER end to end
+        # — XLA lowers sliced gathers off the fast row-gather path — so the
+        # simple take_along_axis form stays.)
+        xf = x.reshape(b, h * w, c)
+        sampled = jnp.zeros((b, h * w * nt, c), x.dtype)
+        for dy, dx, cw in ((0, 0, (1 - wy) * (1 - wx)),
+                           (0, 1, (1 - wy) * wx),
+                           (1, 0, wy * (1 - wx)),
+                           (1, 1, wy * wx)):
+            yi = y0i + dy
+            xi = x0i + dx
+            inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            rows = jnp.take_along_axis(xf, flat[..., None], axis=1)
+            cwm = jnp.where(inb, cw, 0.0).astype(x.dtype)
+            sampled = sampled + rows * cwm[..., None]
 
         g = self.groups
         cg = c // g
         og = self.features // g
         wgt = self.param('kernel', nn.initializers.he_normal(),
                          (nt, g, cg, og), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
-        samp = sampled.reshape(b, h, w, nt, g, cg)
-        out = jnp.einsum('bhwtgc,tgco->bhwgo', samp, wgt,
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        # contract (tap, cg) jointly per group: one MXU pass, no 5D layouts
+        samp = sampled.reshape(b, h * w, nt, g, cg)
+        out = jnp.einsum('bntgc,tgco->bngo', samp, wgt.astype(x.dtype),
                          preferred_element_type=jnp.float32)
-        return out.reshape(b, h, w, self.features) + bias
+        out = out.astype(x.dtype).reshape(b, h, w, self.features)
+        return out + bias.astype(x.dtype)
 
 
 class ASPP(nn.Module):
