@@ -499,6 +499,11 @@ class Trainer:
                              pred_labels=pred_l,
                              pc_range=self.cfg.point_cloud_range, px_per_m=2.0)
             self.logger.log_image(self.global_step, f'{prefix}_bev', img)
+            # interactive 3D scene (wandb Object3D / offline .ply+boxes —
+            # reference mm_training_aim.py:379-404)
+            self.logger.log_scene_3d(self.global_step, f'{prefix}_scene',
+                                     pts0, gt_boxes=gt0, pred_boxes=pred_b,
+                                     pred_labels=pred_l)
 
             if viz is not None and 'heatmaps' in viz:
                 hm = np.asarray(viz['heatmaps'], np.float32)

@@ -43,6 +43,10 @@ class NullLogger:
     def log_image(self, step, name, image):
         pass
 
+    def log_scene_3d(self, step, name, points, gt_boxes=None,
+                     pred_boxes=None, pred_labels=None):
+        pass
+
 
 class MetricsLogger:
     def __init__(self, out_path, experiment_name: str, log_every: int = 50,
@@ -86,6 +90,74 @@ class MetricsLogger:
 
     def log_eval(self, step: int, metrics: Dict[str, float]):
         self._emit(step, metrics)
+
+    def log_scene_3d(self, step: int, name: str, points: np.ndarray,
+                     gt_boxes: Optional[np.ndarray] = None,
+                     pred_boxes: Optional[np.ndarray] = None,
+                     pred_labels: Optional[np.ndarray] = None):
+        """Interactive 3D point-cloud scene with GT/pred boxes — the
+        reference's wandb.Object3D artifact (mm_training_aim.py:379-404).
+        When a wandb run is live, logs the same lidar/beta payload; always
+        also writes an offline equivalent under out_path/scenes/: an ASCII
+        .ply of the cloud (intensity-colored, viewable in MeshLab/CloudCompare)
+        plus a boxes .json ([x,y,z,dx,dy,dz,yaw] + label)."""
+        pts = np.asarray(points, np.float32)
+        xyz = pts[:, :3]
+        inten = (pts[:, 3] if pts.shape[1] > 3
+                 else np.zeros(len(pts), np.float32))
+
+        def corners(bx):
+            x, y, z, dx, dy, dz, yaw = bx[:7]
+            c, s = np.cos(yaw), np.sin(yaw)
+            sx = np.asarray([-1, 1, 1, -1, -1, 1, 1, -1]) * dx / 2
+            sy = np.asarray([-1, -1, 1, 1, -1, -1, 1, 1]) * dy / 2
+            sz = np.asarray([0, 0, 0, 0, 1, 1, 1, 1]) * dz
+            return np.stack([x + c * sx - s * sy, y + s * sx + c * sy,
+                             z + sz], -1)
+
+        if self.wandb_run is not None:  # pragma: no cover
+            boxes = []
+            for arr, color, labels in ((gt_boxes, (255, 255, 255), None),
+                                       (pred_boxes, (255, 64, 64),
+                                        pred_labels)):
+                for i, bx in enumerate([] if arr is None else arr):
+                    boxes.append({
+                        'corners': corners(bx).tolist(), 'color': color,
+                        'label': str(int(labels[i])) if labels is not None
+                                 else ''})
+            i8 = np.clip(inten * 255, 0, 255)
+            payload = np.concatenate(
+                [xyz, np.stack([i8, i8, i8], -1)], axis=1)
+            self.wandb_run.log(
+                {name: wandb.Object3D({'type': 'lidar/beta',
+                                       'points': payload,
+                                       'boxes': np.asarray(boxes)})},
+                step=step)
+        try:
+            scenes = self.out_path / 'scenes'
+            scenes.mkdir(parents=True, exist_ok=True)
+            base = scenes / f'{name}_{step:07d}'
+            with open(f'{base}.ply', 'w') as f:
+                f.write('ply\nformat ascii 1.0\n'
+                        f'element vertex {len(xyz)}\n'
+                        'property float x\nproperty float y\nproperty float z\n'
+                        'property uchar red\nproperty uchar green\n'
+                        'property uchar blue\nend_header\n')
+                i8 = np.clip(inten * 255, 0, 255).astype(np.uint8)
+                for (x, y, z), v in zip(xyz, i8):
+                    f.write(f'{x:.3f} {y:.3f} {z:.3f} {v} {v} {v}\n')
+            scene = {
+                'gt': [] if gt_boxes is None else
+                      np.asarray(gt_boxes)[:, :7].tolist(),
+                'pred': [] if pred_boxes is None else
+                        np.asarray(pred_boxes)[:, :7].tolist(),
+                'pred_labels': [] if pred_labels is None else
+                               np.asarray(pred_labels).tolist(),
+            }
+            with open(f'{base}_boxes.json', 'w') as f:
+                json.dump(scene, f)
+        except Exception:  # pragma: no cover - best-effort artifact
+            pass
 
     def log_image(self, step: int, name: str, image: np.ndarray):
         """HWC uint8 image panel (the reference logged wandb heatmap/depth

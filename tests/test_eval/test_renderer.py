@@ -46,3 +46,30 @@ def test_draw_boxes_camera_draws_in_front_only():
     out_behind = draw_boxes_camera(img, behind, extr, intr)
     assert out_front.sum() > 0
     assert out_behind.sum() == 0
+
+
+def test_log_scene_3d_writes_ply_and_boxes(tmp_path):
+    """The 3D scene artifact (wandb Object3D equivalent,
+    mm_training_aim.py:379-404): an ASCII .ply point cloud + boxes json
+    written offline per logged scene."""
+    import json
+
+    from mm_training_tpu.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), 'test', use_tensorboard=False)
+    pts = np.concatenate([np.random.default_rng(0).uniform(-10, 10, (50, 3)),
+                          np.random.default_rng(1).uniform(0, 1, (50, 1))], 1)
+    gt = np.asarray([[1.0, 2.0, 0.0, 4.0, 2.0, 1.5, 0.3, 0, 0]])
+    pred = np.asarray([[1.1, 2.1, 0.0, 4.0, 2.0, 1.5, 0.25, 0, 0]])
+    lg.log_scene_3d(7, 'val_scene', pts, gt_boxes=gt, pred_boxes=pred,
+                    pred_labels=np.asarray([2]))
+
+    ply = tmp_path / 'scenes' / 'val_scene_0000007.ply'
+    boxes = tmp_path / 'scenes' / 'val_scene_0000007_boxes.json'
+    assert ply.is_file() and boxes.is_file()
+    head = ply.read_text().splitlines()
+    assert head[0] == 'ply' and 'element vertex 50' in head[2]
+    assert len(head) == 10 + 50  # header + points
+    scene = json.loads(boxes.read_text())
+    assert len(scene['gt']) == 1 and len(scene['pred']) == 1
+    assert scene['pred_labels'] == [2]
