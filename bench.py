@@ -18,7 +18,7 @@ import json
 import time
 
 A100_BASELINE_SAMPLES_PER_SEC = 2.0
-K_STEPS = 4  # steps per dispatch
+K_STEPS = 16  # steps per dispatch (sweep: 4->8.00, 8->8.28, 16->8.36, 32->8.40 samples/s)
 
 
 def main():

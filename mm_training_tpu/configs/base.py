@@ -34,6 +34,11 @@ class ImageBackboneConf:
     depth: int = 50
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     pretrained: Optional[str] = None  # path to a torchvision-format .pth, if any
+    # run the stem as its exact space-to-depth equivalent (MLPerf ResNet
+    # trick; models/resnet.py): the 3-channel 7x7/2 conv is MXU-starved,
+    # the blocked 12-channel 4x4 form is ~4x denser. Weight import/export
+    # rewrite the kernel exactly in both directions.
+    stem_s2d: bool = True
 
 
 @dataclass(frozen=True)
@@ -307,7 +312,8 @@ class Config:
 
     # K train steps per device dispatch (lax.scan over stacked micro-batches).
     # Amortizes the fixed per-dispatch host cost; metrics are fetched once per
-    # dispatch. 1 = classic one-step-per-dispatch loop.
+    # dispatch. 1 = classic one-step-per-dispatch loop. Trailing batches that
+    # don't fill a K-group run through the single-step path (nothing dropped).
     steps_per_dispatch: int = 1
 
     # --- fixed-shape capacities (TPU static shapes; reference was dynamic)

@@ -37,7 +37,8 @@ class LSSFPN(nn.Module):
     def setup(self):
         bb = self.conf.img_backbone_conf
         self.img_backbone = ResNet(depth=bb.depth, out_indices=bb.out_indices,
-                                   bn_axis_name=self.bn_axis_name)
+                                   bn_axis_name=self.bn_axis_name,
+                                   stem_s2d=bb.stem_s2d)
         nk = self.conf.img_neck_conf
         self.img_neck = SECONDFPN(out_channels=nk.out_channels,
                                   upsample_strides=nk.upsample_strides,

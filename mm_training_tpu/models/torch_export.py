@@ -69,12 +69,21 @@ def _convbn(out, conv_name, bn_name, p, s, torch_conv_bias=False):
 
 
 def export_mmdet_resnet(params: Dict, stats: Dict, depth: int,
-                        num_stages: int = 4, prefix: str = ''
-                        ) -> Dict[str, np.ndarray]:
-    """Inverse of torch_import.convert_mmdet_resnet."""
+                        num_stages: int = 4, prefix: str = '',
+                        stem_s2d: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of torch_import.convert_mmdet_resnet. With ``stem_s2d`` the
+    [4,4,4*cin,cout] space-to-depth stem kernel maps back to the reference
+    7x7 form (exact: the structurally-masked taps are zero)."""
     out: Dict[str, np.ndarray] = {}
-    _convbn(out, f'{prefix}conv1', f'{prefix}bn1',
-            params['stem'], stats['stem'])
+    if stem_s2d:
+        from .torch_import import stem_7x7_from_s2d
+        stem_p = {'Conv_0': {'kernel': stem_7x7_from_s2d(
+            np.asarray(params['stem']['Conv_0']['kernel']))},
+            'BatchNorm_0': params['stem']['BatchNorm_0']}
+        _convbn(out, f'{prefix}conv1', f'{prefix}bn1', stem_p, stats['stem'])
+    else:
+        _convbn(out, f'{prefix}conv1', f'{prefix}bn1',
+                params['stem'], stats['stem'])
     n_convs = 3 if depth in _BOTTLENECK else 2
     for i, blocks in enumerate(_STAGE_BLOCKS[depth][:num_stages], start=1):
         for j in range(blocks):
@@ -251,7 +260,8 @@ def export_reference_checkpoint(params: Dict, stats: Dict, cfg,
         bb = cfg.get_backbone_conf()
         out.update(export_mmdet_resnet(
             params['backbone']['img_backbone'], stats['backbone']['img_backbone'],
-            depth=bb.img_backbone_conf.depth, prefix='backbone.img_backbone.'))
+            depth=bb.img_backbone_conf.depth, prefix='backbone.img_backbone.',
+            stem_s2d=bb.img_backbone_conf.stem_s2d))
         out.update(export_second_fpn(
             params['backbone']['img_neck'], stats['backbone']['img_neck'],
             bb.img_neck_conf.upsample_strides, prefix='backbone.img_neck.'))

@@ -83,17 +83,63 @@ def _convbn(sd, conv_name, bn_name):
             {'BatchNorm_0': bn_s})
 
 
+def stem_s2d_from_7x7(w7: np.ndarray) -> np.ndarray:
+    """HWIO [7,7,cin,cout] stem kernel -> the exact space-to-depth [4,4,
+    4*cin,cout] kernel (models/resnet.py stem_s2d; tap k = 2m + d + 3)."""
+    _, _, cin, cout = w7.shape
+    w4 = np.zeros((4, 4, 4 * cin, cout), w7.dtype)
+    for my in range(4):
+        for dy in range(2):
+            ky = 2 * (my - 2) + dy + 3
+            if not 0 <= ky < 7:
+                continue
+            for mx in range(4):
+                for dx in range(2):
+                    kx = 2 * (mx - 2) + dx + 3
+                    if not 0 <= kx < 7:
+                        continue
+                    s = (dy * 2 + dx) * cin
+                    w4[my, mx, s:s + cin] = w7[ky, kx]
+    return w4
+
+
+def stem_7x7_from_s2d(w4: np.ndarray) -> np.ndarray:
+    """Exact inverse of stem_s2d_from_7x7 (the masked taps are zero by
+    construction — models/resnet.py applies the structural kernel mask)."""
+    _, _, cin4, cout = w4.shape
+    cin = cin4 // 4
+    w7 = np.zeros((7, 7, cin, cout), w4.dtype)
+    for my in range(4):
+        for dy in range(2):
+            ky = 2 * (my - 2) + dy + 3
+            if not 0 <= ky < 7:
+                continue
+            for mx in range(4):
+                for dx in range(2):
+                    kx = 2 * (mx - 2) + dx + 3
+                    if not 0 <= kx < 7:
+                        continue
+                    s = (dy * 2 + dx) * cin
+                    w7[ky, kx] = w4[my, mx, s:s + cin]
+    return w7
+
+
 def convert_mmdet_resnet(state_dict: Dict[str, np.ndarray], depth: int = 50,
-                         num_stages: int = 4, prefix: str = ''
-                         ) -> Tuple[Dict, Dict]:
+                         num_stages: int = 4, prefix: str = '',
+                         stem_s2d: bool = False) -> Tuple[Dict, Dict]:
     """mmdet/torchvision-named ResNet state_dict (conv1/bn1/layer{i}.{j}) ->
     (params, batch_stats) for models.resnet.ResNet(depth, num_stages).
     Covers both the image backbone (depth 50) and the BEV trunk (depth 18,
-    3 stages, conf_aim.py:100-110) — mmdet keeps torchvision naming."""
+    3 stages, conf_aim.py:100-110) — mmdet keeps torchvision naming.
+    ``stem_s2d`` rewrites the 7x7 stem kernel to the exact space-to-depth
+    form."""
     sd = {k[len(prefix):]: v for k, v in state_dict.items()
           if k.startswith(prefix)}
     params, stats = {}, {}
     params['stem'], stats['stem'] = _convbn(sd, 'conv1', 'bn1')
+    if stem_s2d:
+        params['stem']['Conv_0']['kernel'] = stem_s2d_from_7x7(
+            params['stem']['Conv_0']['kernel'])
 
     n_convs = 3 if depth in _BOTTLENECK else 2
     for i, blocks in enumerate(_STAGE_BLOCKS[depth][:num_stages], start=1):
@@ -113,9 +159,11 @@ def convert_mmdet_resnet(state_dict: Dict[str, np.ndarray], depth: int = 50,
 
 
 def convert_torchvision_resnet(state_dict: Dict[str, np.ndarray],
-                               depth: int = 50) -> Tuple[Dict, Dict]:
+                               depth: int = 50, stem_s2d: bool = False
+                               ) -> Tuple[Dict, Dict]:
     """torchvision-named state_dict -> trees for ResNet(depth, num_stages=4)."""
-    return convert_mmdet_resnet(state_dict, depth=depth, num_stages=4)
+    return convert_mmdet_resnet(state_dict, depth=depth, num_stages=4,
+                                stem_s2d=stem_s2d)
 
 
 def _deconv(sd, name):
@@ -375,7 +423,8 @@ def convert_reference_checkpoint(state_dict: Dict[str, np.ndarray], cfg
         bk_p, bk_s = {}, {}
         bk_p['img_backbone'], bk_s['img_backbone'] = convert_mmdet_resnet(
             sd, depth=bb.img_backbone_conf.depth, num_stages=4,
-            prefix='backbone.img_backbone.')
+            prefix='backbone.img_backbone.',
+            stem_s2d=bb.img_backbone_conf.stem_s2d)
         bk_p['img_neck'], bk_s['img_neck'] = convert_second_fpn(
             sd, bb.img_neck_conf.upsample_strides,
             prefix='backbone.img_neck.')

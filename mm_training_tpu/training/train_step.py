@@ -19,6 +19,7 @@ flipped labels, exactly like the reference.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax
@@ -243,8 +244,21 @@ def _build_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
     return train_step
 
 
+def _compiler_options():
+    """Optional backend-compiler overrides for the train-step programs, from
+    env ``MMT_XLA_OPTIONS`` as comma-separated k=v (e.g.
+    ``xla_tpu_scoped_vmem_limit_kib=65536``). TPU-specific XLA flags cannot
+    go through XLA_FLAGS here: the CLIENT xla parses that env var and
+    rejects flags only the backend's libtpu knows; per-jit compiler_options
+    are forwarded to (and validated by) the backend compiler instead."""
+    spec = os.environ.get('MMT_XLA_OPTIONS', '')
+    opts = dict(kv.split('=', 1) for kv in spec.split(',') if '=' in kv)
+    return opts or None
+
+
 def make_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
-    return jax.jit(_build_train_step(cfg, model, tx), donate_argnums=(0,))
+    return jax.jit(_build_train_step(cfg, model, tx), donate_argnums=(0,),
+                   compiler_options=_compiler_options())
 
 
 def make_train_step_multi(cfg: Config, model: BEVDepthLiDAR, tx, k: int):
@@ -259,7 +273,8 @@ def make_train_step_multi(cfg: Config, model: BEVDepthLiDAR, tx, k: int):
     """
     step = _build_train_step(cfg, model, tx)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       compiler_options=_compiler_options())
     def train_step_multi(state: TrainState, batches, rng):
         def body(s, b):
             return step(s, b, rng)

@@ -191,8 +191,9 @@ class Trainer:
                                                load_torch_state_dict,
                                                merge_pretrained_backbone)
             sd = load_torch_state_dict(pretrained)
+            bb = self.cfg.get_backbone_conf().img_backbone_conf
             conv = convert_torchvision_resnet(
-                sd, self.cfg.get_backbone_conf().img_backbone_conf.depth)
+                sd, bb.depth, stem_s2d=bb.stem_s2d)
             tree = merge_pretrained_backbone(
                 {'params': self.state.params,
                  'batch_stats': self.state.batch_stats}, conv)
@@ -299,19 +300,16 @@ class Trainer:
                            log=False)
 
         kdisp = max(1, cfg.steps_per_dispatch)
-        if kdisp > 1 and len(train_loader) < kdisp:
-            raise ValueError(
-                f'steps_per_dispatch={kdisp} exceeds the {len(train_loader)} '
-                'train batches per epoch — every dispatch group would be '
-                'dropped and no step would ever run')
-        step_attr = '_train_step_multi' if kdisp > 1 else '_train_step'
         timer = StepTimer()
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
-            for batch, device_batch in self._device_batches(train_loader,
-                                                            stack=kdisp):
+            for batch, device_batch, stacked in self._device_batches(
+                    train_loader, stack=kdisp):
                 timer.start()
                 prev_step = self.global_step
+                # trailing batches that don't fill a K-group run through the
+                # single-step path (no sample is dropped)
+                step_attr = '_train_step_multi' if stacked else '_train_step'
                 # mesh context resolves sharding-constraint axis names
                 with self.mesh:
                     step_fn = self._synced_compile(step_attr, self.state,
@@ -320,13 +318,14 @@ class Trainer:
                                                   rng)
                 self.global_step = int(self.state.step)  # fetch = step barrier
                 n = batch['points'].shape[0] * (batch['points'].shape[1]
-                                                if kdisp > 1 else 1)
+                                                if stacked else 1)
                 timer.stop(n_samples=n)
                 self.logger.log_step(self.global_step, metrics)
                 if cfg.viz_every_n_steps and (
                         self.global_step // cfg.viz_every_n_steps
                         > prev_step // cfg.viz_every_n_steps):
-                    self._log_train_viz(batch, device_batch, kdisp)
+                    self._log_train_viz(batch, device_batch,
+                                        kdisp if stacked else 1)
                 if cfg.latest_every_n_steps and (
                         self.global_step // cfg.latest_every_n_steps
                         > prev_step // cfg.latest_every_n_steps):
@@ -359,7 +358,7 @@ class Trainer:
         self.map_calculator.reset()
         agg: Dict[str, float] = {}
         count = 0
-        for bi, (batch, device_batch) in enumerate(
+        for bi, (batch, device_batch, _) in enumerate(
                 self._device_batches(loader, max_batches)):
             with self.mesh:
                 eval_fn = self._synced_compile('_eval_step', self.state,
@@ -543,7 +542,8 @@ class Trainer:
 
     def predict(self, split='val', max_batches=None):
         loader = self.loader(split)
-        for batch, device_batch in self._device_batches(loader, max_batches):
+        for batch, device_batch, _ in self._device_batches(loader,
+                                                           max_batches):
             with self.mesh:
                 predict_fn = self._synced_compile('_predict_step', self.state,
                                                   device_batch)
@@ -571,13 +571,15 @@ class Trainer:
 
     def _device_batches(self, loader, max_batches: Optional[int] = None,
                         stack: int = 1):
-        """Yield (host_batch, device_batch) with the NEXT transfer already
-        enqueued — device_put is async, so H2D of batch i+1 overlaps step i
-        (the tunnel transfer would otherwise serialize with compute).
+        """Yield (host_batch, device_batch, stacked) with the NEXT transfer
+        already enqueued — device_put is async, so H2D of batch i+1 overlaps
+        step i (the tunnel transfer would otherwise serialize with compute).
 
         With ``stack`` > 1, groups that many loader batches on a leading K
-        axis for K-step dispatch (an incomplete trailing group is dropped,
-        like drop_last)."""
+        axis for K-step dispatch. An incomplete trailing group is NOT
+        dropped: its batches are yielded individually with stacked=False and
+        the caller runs them through the single-step path (so tiny datasets
+        and non-multiple epoch lengths lose no samples)."""
         it = iter(loader)
         if stack > 1:
             def grouped(src):
@@ -585,20 +587,24 @@ class Trainer:
                 for b in src:
                     group.append(b)
                     if len(group) == stack:
-                        yield stack_batches(group)
+                        yield True, stack_batches(group)
                         group = []
+                for b in group:  # trailing partial group: single-step
+                    yield False, b
             it = grouped(it)
+        else:
+            it = ((False, b) for b in it)
         cur = None
         count = 0
-        for nxt in it:
-            nxt_pair = (nxt, shard_batch(self.mesh, _strip(nxt),
-                                         stacked=stack > 1))
+        for stacked, nxt in it:
+            nxt_tup = (nxt, shard_batch(self.mesh, _strip(nxt),
+                                        stacked=stacked), stacked)
             if cur is not None:
                 yield cur
                 count += 1
                 if max_batches is not None and count >= max_batches:
                     return
-            cur = nxt_pair
+            cur = nxt_tup
         if cur is not None and (max_batches is None or count < max_batches):
             yield cur
 

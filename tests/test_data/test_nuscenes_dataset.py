@@ -334,7 +334,10 @@ def test_nuscenes_depth_gt_pipeline(tmp_path):
     mb['flipped'] = jnp.zeros((b * sw * n,), bool)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), mb)
     step = make_train_step(cfg, model, tx)
-    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    # the step donates its state arg — copy so the second call below can
+    # start from the SAME initial state (reuse after donation is an error)
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    _, metrics = step(state_copy, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics['train_loss']))
     assert float(metrics['train_depth_loss']) > 0
 

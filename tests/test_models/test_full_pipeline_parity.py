@@ -226,12 +226,19 @@ def test_full_pipeline_box_parity():
                       np.asarray(flabels[bi])[v])
         assert len(gb) == len(rb), (len(gb), len(rb))
         assert len(rb) > 0, 'degenerate test: no boxes decoded'
-        # match by score order within each task label set
-        ro = np.lexsort((-rs, rl))
-        go = np.lexsort((-gs, gl))
-        np.testing.assert_array_equal(rl[ro], gl[go])
-        np.testing.assert_allclose(gs[go], rs[ro], atol=1e-4)
-        err = np.linalg.norm(gb[go][:, :2] - rb[ro][:, :2], axis=1)
-        assert float(err.max()) < 1e-3, f'max center error {err.max()}'
-        np.testing.assert_allclose(gb[go][:, 3:6], rb[ro][:, 3:6],
-                                   rtol=1e-3, atol=1e-3)
+        # greedy nearest-center 1-1 matching per label (score-order matching
+        # is fragile: near-tied scores can swap rank under ~1e-6 fp noise,
+        # pairing unrelated far-apart boxes)
+        used = np.zeros(len(rb), bool)
+        for k in range(len(gb)):
+            cand = np.flatnonzero((rl == gl[k]) & ~used)
+            assert len(cand), f'no unmatched ref box with label {gl[k]}'
+            d = np.linalg.norm(rb[cand, :2] - gb[k, :2], axis=1)
+            j = cand[int(d.argmin())]
+            used[j] = True
+            err = float(np.linalg.norm(gb[k, :2] - rb[j, :2]))
+            assert err < 1e-3, f'center error {err} (label {gl[k]})'
+            np.testing.assert_allclose(gs[k], rs[j], atol=1e-4)
+            np.testing.assert_allclose(gb[k, 3:6], rb[j, 3:6],
+                                       rtol=1e-3, atol=1e-3)
+        assert used.all()

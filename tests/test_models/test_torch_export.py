@@ -63,7 +63,17 @@ def _randomized(variables, seed=7):
         fan = max(1, int(np.prod(arr.shape[:-1])))
         return rng.normal(0.0, 1.0 / np.sqrt(fan),
                           arr.shape).astype(np.float32)
-    return walk(jax.tree_util.tree_map(np.asarray, variables))
+    out = walk(jax.tree_util.tree_map(np.asarray, variables))
+    # preserve the s2d stem's structural invariant: taps with no 7x7
+    # counterpart are zero in EVERY real kernel (masked init, masked grads,
+    # masked import) — a dense random kernel there is unrepresentable
+    stem = out['params']['backbone']['img_backbone']['stem']['Conv_0']
+    if stem['kernel'].shape[:2] == (4, 4):
+        from mm_training_tpu.models.resnet import stem_s2d_mask
+        cin = stem['kernel'].shape[2] // 4
+        stem['kernel'] = stem['kernel'] * stem_s2d_mask(
+            cin, stem['kernel'].shape[3])
+    return out
 
 
 def _roundtrip(cfg, variables):

@@ -83,6 +83,24 @@ def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
     assert tr2.global_step in (2, 4, 6, 8)  # whichever latest save ran last
 
 
+def test_partial_dispatch_group_falls_back_to_single_steps(synth_root,
+                                                           tmp_path):
+    """4 batches/epoch with steps_per_dispatch=3: one scanned 3-group plus
+    ONE single-step batch — nothing dropped, all 4 steps run (the round-2
+    behavior dropped the trailing K-1 batches and raised on tiny epochs)."""
+    cfg = _cfg(tmp_path, steps_per_dispatch=3)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.fit(max_epochs=1)
+    assert tr.global_step == 4
+    # K larger than the whole epoch: every batch runs via the single path
+    cfg = _cfg(tmp_path, steps_per_dispatch=8, out_path=str(tmp_path / 'o8'))
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.fit(max_epochs=1)
+    assert tr.global_step == 4
+
+
 def test_per_odd_eval_matrix(synth_root, tmp_path):
     cfg = _cfg(tmp_path)
     tr = _trainer(cfg, synth_root)
