@@ -15,8 +15,11 @@ from ..configs import Config, variants
 
 
 def parse_args(argv: Optional[Sequence[str]] = None,
-               description: str = '') -> argparse.Namespace:
+               description: str = '',
+               extra_flags: Sequence[str] = ()) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=description)
+    for flag in extra_flags:  # entry-specific boolean switches
+        p.add_argument(f'--{flag}', action='store_true')
     p.add_argument('--config', default='lidar_radar',
                    help='config variant name (mm_training_tpu.configs.variants)'
                         ' — lidar_only, lidar_radar, lidar_cam, lidar_cam_radar,'

@@ -17,7 +17,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
-           'process_batch_bounds', 'local_batch_numpy', 'DATA_AXIS',
+           'process_batch_bounds', 'local_batch_numpy',
+           'local_batches_numpy', 'DATA_AXIS',
            'MODEL_AXIS']
 
 DATA_AXIS = 'data'
@@ -63,6 +64,17 @@ def process_batch_bounds(mesh: Mesh, global_batch: int):
         'non-contiguous process shards — custom device order not supported '
         f'by the host loader sharding: {sorted(local)}')
     return lo, hi
+
+
+def local_batches_numpy(*arrs):
+    """Fetch several arrays at once: one bundled device_get instead of
+    serial per-array fetches. On the remote-attached backend each separate
+    fetch is a full tunnel round-trip (~30 ms) — fetching the predict
+    outputs one by one measured 170 ms vs 81 ms bundled."""
+    import jax as _jax
+    if _jax.process_count() == 1:
+        return tuple(_jax.device_get(arrs))
+    return tuple(local_batch_numpy(a) for a in arrs)
 
 
 def local_batch_numpy(arr):

@@ -31,7 +31,7 @@ from ..data.aimotive_dataset import AiMotiveDataset
 from ..evaluation import MAPCalculator
 from ..models import BEVDepthLiDAR
 from ..parallel import (all_gather_object, barrier, is_main_process,
-                        local_batch_numpy, make_mesh,
+                        local_batches_numpy, make_mesh,
                         process_count, shard_batch)
 from ..utils.logging import MetricsLogger, NullLogger
 from ..utils.profiling import StepTimer, profile_trace
@@ -368,8 +368,8 @@ class Trainer:
             # per-row consumers get THIS process's rows only (global rows
             # are not host-fetchable across processes); all_gather_object
             # pools the accumulations below
-            boxes, scores, labels, valid = map(
-                local_batch_numpy, (boxes, scores, labels, valid))
+            boxes, scores, labels, valid = local_batches_numpy(
+                boxes, scores, labels, valid)
             self._accumulate_map(batch, boxes, scores, labels, valid)
             if log and bi == 0:
                 self._log_scene_panel(batch, boxes, scores, labels, valid,
@@ -471,9 +471,8 @@ class Trainer:
             with self.mesh:
                 _, (boxes, scores, labels, valid), viz = self._eval_step(
                     self.state, device_batch)
-            self._log_scene_panel(batch, *map(local_batch_numpy,
-                                              (boxes, scores, labels, valid)),
-                                  'train', viz)
+            self._log_scene_panel(batch, *local_batches_numpy(
+                boxes, scores, labels, valid), 'train', viz)
         except Exception as e:  # viz must never break training
             self._warn_viz_failure(e)
 
@@ -549,8 +548,8 @@ class Trainer:
                                                   device_batch)
                 boxes, scores, labels, valid = predict_fn(
                     self.state, device_batch)
-            self._export_results(batch, *map(local_batch_numpy,
-                                             (boxes, scores, labels, valid)))
+            self._export_results(batch, *local_batches_numpy(
+                boxes, scores, labels, valid))
 
     # -------------------------------------------------------------- helpers
     def _synced_compile(self, attr: str, *args):

@@ -29,6 +29,38 @@ def test_bad_override_errors():
         build_config(args)
 
 
+def test_extra_flags():
+    args = parse_args(['--config', 'lidar_only', '--latency'],
+                      extra_flags=('latency',))
+    assert args.latency is True
+    args = parse_args(['--config', 'lidar_only'], extra_flags=('latency',))
+    assert args.latency is False
+
+
+def test_inference_latency_benchmark(tmp_path):
+    """--latency drives the real predict step and reports percentiles."""
+    import numpy as np
+    from mm_training_tpu.configs import tiny_test_config
+    from mm_training_tpu.data.synthetic import generate_synthetic_dataset
+    from mm_training_tpu.exps.inference import benchmark_latency
+    from mm_training_tpu.training.trainer import Trainer
+
+    root = str(tmp_path / 'ds')
+    generate_synthetic_dataset(root, splits=('val',), sequences_per_odd=1,
+                               frames_per_sequence=2, img_hw=(64, 128))
+    cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
+                           batch_size=1, num_workers=1,
+                           out_path=str(tmp_path / 'out'))
+    tr = Trainer(cfg, data_root=root)
+    tr.setup(steps_per_epoch=1)
+    tr.init_state(next(iter(tr.loader('val'))))
+    stats = benchmark_latency(tr, iters=3)
+    # loader yields GLOBAL batches: per-device batch x data-parallel size
+    assert stats['batch_size'] == cfg.batch_size * tr.data_parallel_size
+    assert 0 < stats['p50_ms'] <= stats['p90_ms'] <= stats['p99_ms']
+    assert np.isfinite(stats['p99_ms'])
+
+
 def test_string_values_pass_through():
     args = parse_args(['--config', 'eval_lidar_radar',
                        'eval_split=night'])
