@@ -136,3 +136,17 @@ def test_eval_step_padded_batch_loss_exact(modalities):
     for k in ('detection_loss', 'depth_loss', 'loss'):
         np.testing.assert_allclose(float(m_padded[k]), float(m_small[k]),
                                    rtol=1e-5, err_msg=k)
+
+
+def test_compiler_options_env_parsing(monkeypatch):
+    """MMT_XLA_OPTIONS feeds per-jit backend compiler overrides (TPU-only
+    XLA flags can't go through the client-parsed XLA_FLAGS env)."""
+    from mm_training_tpu.training.train_step import _compiler_options
+    monkeypatch.delenv('MMT_XLA_OPTIONS', raising=False)
+    assert _compiler_options() is None
+    monkeypatch.setenv('MMT_XLA_OPTIONS',
+                       'xla_tpu_scoped_vmem_limit_kib=65536,a=b')
+    assert _compiler_options() == {
+        'xla_tpu_scoped_vmem_limit_kib': '65536', 'a': 'b'}
+    monkeypatch.setenv('MMT_XLA_OPTIONS', '')
+    assert _compiler_options() is None
