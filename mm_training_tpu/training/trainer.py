@@ -424,7 +424,10 @@ class Trainer:
                 device_batch = shard_batch(self.mesh, _strip(batch))
                 self.state, metrics = self._train_step(self.state,
                                                        device_batch, rng)
-                jax.block_until_ready(metrics)
+                # forced fetch, not block_until_ready: the latter does not
+                # synchronize on remote-attached backends, which would end
+                # the trace before the steps finish
+                float(metrics['train_loss'])
         return str(self.out_path / 'profile')
 
     def validate(self, max_batches=None):

@@ -61,6 +61,28 @@ def test_inference_latency_benchmark(tmp_path):
     assert np.isfinite(stats['p99_ms'])
 
 
+def test_train_profile_flag(tmp_path):
+    """--profile captures a device trace of a few steps and exits."""
+    import pathlib
+    from mm_training_tpu.data.synthetic import generate_synthetic_dataset
+    from mm_training_tpu.exps.train import main
+
+    root = str(tmp_path / 'ds')
+    # global batch = batch_size x 8 virtual devices -> need >= 8 train frames
+    generate_synthetic_dataset(root, splits=('train', 'val'),
+                               sequences_per_odd=1, frames_per_sequence=8,
+                               img_hw=(64, 128))
+    out = main(['--config', 'tiny_test_config', '--profile',
+                '--max-steps', '1', '--data-root', root,
+                'use_cam=False', 'use_lidar=True', 'use_radar=True',
+                'batch_size=1', 'num_workers=1',
+                f'out_path={tmp_path / "out"}'])
+    assert out == {}
+    traces = list(pathlib.Path(tmp_path / 'out' / 'profile').rglob(
+        '*.trace.json.gz'))
+    assert traces, 'no trace file written'
+
+
 def test_string_values_pass_through():
     args = parse_args(['--config', 'eval_lidar_radar',
                        'eval_split=night'])
