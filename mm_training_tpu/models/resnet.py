@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['ResNet', 'BasicBlock', 'Bottleneck', 'resnet_stage_channels',
-           'stem_s2d_mask']
+           'stem_s2d_mask', 'stem_s2d_from_7x7', 'stem_7x7_from_s2d']
 
 
 class ConvBN(nn.Module):
@@ -104,8 +104,8 @@ def resnet_stage_channels(depth: int, base_channels: int, num_stages: int) -> Tu
     return tuple(base_channels * (2 ** i) * exp for i in range(num_stages))
 
 
-def stem_s2d_mask(cin: int, features: int) -> np.ndarray:
-    """Structural kernel mask for the space-to-depth stem.
+def _stem_tap_map():
+    """Single source of truth for the space-to-depth stem tap mapping.
 
     The 7x7/stride-2 stem conv is EXACTLY a 4x4/stride-1 conv on the
     2x2-space-to-depth'd image (MLPerf ResNet trick): tap (m, d) of the
@@ -113,19 +113,58 @@ def stem_s2d_mask(cin: int, features: int) -> np.ndarray:
     k = 2m + d + 3. k is out of [0, 7) only for (m=-2, d=0) per axis; those
     blocked-kernel positions have no 7x7 counterpart and are masked to zero
     so the parameterization stays bijective with the reference stem (import
-    AND export are exact, including after training)."""
-    valid = np.zeros((4, 2), bool)
-    for m in range(4):
-        for d in range(2):
-            valid[m, d] = 0 <= 2 * (m - 2) + d + 3 < 7
-    mask = np.zeros((4, 4, 4 * cin, features), np.float32)
+    AND export are exact, including after training).
+
+    Returns (my, mx, block, ky, kx) tuples: blocked tap [my, mx] channel
+    group ``block`` (dy*2+dx) <-> 7x7 tap [ky, kx]."""
+    taps = []
     for my in range(4):
         for dy in range(2):
+            ky = 2 * (my - 2) + dy + 3
+            if not 0 <= ky < 7:
+                continue
             for mx in range(4):
                 for dx in range(2):
-                    if valid[my, dy] and valid[mx, dx]:
-                        s = (dy * 2 + dx) * cin
-                        mask[my, mx, s:s + cin] = 1.0
+                    kx = 2 * (mx - 2) + dx + 3
+                    if not 0 <= kx < 7:
+                        continue
+                    taps.append((my, mx, dy * 2 + dx, ky, kx))
+    return taps
+
+
+def stem_s2d_from_7x7(w7: np.ndarray) -> np.ndarray:
+    """HWIO [7,7,cin,cout] stem kernel -> the exact space-to-depth
+    [4,4,4*cin,cout] kernel."""
+    _, _, cin, cout = w7.shape
+    w4 = np.zeros((4, 4, 4 * cin, cout), w7.dtype)
+    for my, mx, blk, ky, kx in _stem_tap_map():
+        w4[my, mx, blk * cin:(blk + 1) * cin] = w7[ky, kx]
+    return w4
+
+
+def stem_7x7_from_s2d(w4: np.ndarray) -> np.ndarray:
+    """Exact inverse of stem_s2d_from_7x7. Asserts the structurally-masked
+    taps are zero (guaranteed by the masked init + masked gradients in
+    _S2DStem) — a nonzero masked tap has no 7x7 counterpart, so discarding
+    it silently would make the export lossy."""
+    _, _, cin4, cout = w4.shape
+    cin = cin4 // 4
+    w7 = np.zeros((7, 7, cin, cout), w4.dtype)
+    for my, mx, blk, ky, kx in _stem_tap_map():
+        w7[ky, kx] = w4[my, mx, blk * cin:(blk + 1) * cin]
+    leak = w4 * (1.0 - stem_s2d_mask(cin, cout)).astype(w4.dtype)
+    assert not np.abs(leak).any(), (
+        'space-to-depth stem kernel has nonzero structurally-masked taps — '
+        'the blocked form no longer maps exactly onto a 7x7 kernel')
+    return w7
+
+
+def stem_s2d_mask(cin: int, features: int) -> np.ndarray:
+    """Structural 0/1 kernel mask for the space-to-depth stem (derived from
+    the tap map — see _stem_tap_map)."""
+    mask = np.zeros((4, 4, 4 * cin, features), np.float32)
+    for my, mx, blk, _, _ in _stem_tap_map():
+        mask[my, mx, blk * cin:(blk + 1) * cin] = 1.0
     return mask
 
 
@@ -150,9 +189,13 @@ class _S2DStem(nn.Module):
         # gives them zero gradient (and zero weight decay at zero), so they
         # stay zero forever and the stored kernel remains BIT-bijective with
         # the 7x7 form — export/import roundtrips exactly even from a fresh
-        # init, not only from converted weights
+        # init, not only from converted weights. Variance is scaled by
+        # 64/49 to compensate for the zeroed taps: the live fan-in is the
+        # 7x7 stem's 49*cin, not the dense blocked 64*cin — matching the
+        # plain stem's lecun init distribution exactly.
         def masked_lecun(key, shape, dtype=jnp.float32):
-            w = nn.initializers.lecun_normal()(key, shape, dtype)
+            w = nn.initializers.variance_scaling(
+                64.0 / 49.0, 'fan_in', 'truncated_normal')(key, shape, dtype)
             return w * stem_s2d_mask(c, self.features).astype(dtype)
         # mask in x.dtype: flax computes kernel*mask BEFORE dtype promotion,
         # so an fp32 mask would promote the bf16-cast kernel — and, by

@@ -83,45 +83,9 @@ def _convbn(sd, conv_name, bn_name):
             {'BatchNorm_0': bn_s})
 
 
-def stem_s2d_from_7x7(w7: np.ndarray) -> np.ndarray:
-    """HWIO [7,7,cin,cout] stem kernel -> the exact space-to-depth [4,4,
-    4*cin,cout] kernel (models/resnet.py stem_s2d; tap k = 2m + d + 3)."""
-    _, _, cin, cout = w7.shape
-    w4 = np.zeros((4, 4, 4 * cin, cout), w7.dtype)
-    for my in range(4):
-        for dy in range(2):
-            ky = 2 * (my - 2) + dy + 3
-            if not 0 <= ky < 7:
-                continue
-            for mx in range(4):
-                for dx in range(2):
-                    kx = 2 * (mx - 2) + dx + 3
-                    if not 0 <= kx < 7:
-                        continue
-                    s = (dy * 2 + dx) * cin
-                    w4[my, mx, s:s + cin] = w7[ky, kx]
-    return w4
-
-
-def stem_7x7_from_s2d(w4: np.ndarray) -> np.ndarray:
-    """Exact inverse of stem_s2d_from_7x7 (the masked taps are zero by
-    construction — models/resnet.py applies the structural kernel mask)."""
-    _, _, cin4, cout = w4.shape
-    cin = cin4 // 4
-    w7 = np.zeros((7, 7, cin, cout), w4.dtype)
-    for my in range(4):
-        for dy in range(2):
-            ky = 2 * (my - 2) + dy + 3
-            if not 0 <= ky < 7:
-                continue
-            for mx in range(4):
-                for dx in range(2):
-                    kx = 2 * (mx - 2) + dx + 3
-                    if not 0 <= kx < 7:
-                        continue
-                    s = (dy * 2 + dx) * cin
-                    w7[ky, kx] = w4[my, mx, s:s + cin]
-    return w7
+# the bijective 7x7 <-> blocked space-to-depth stem kernel rewrite lives
+# with the stem module (single source of truth for the tap mapping)
+from .resnet import stem_7x7_from_s2d, stem_s2d_from_7x7  # noqa: E402,F401
 
 
 def convert_mmdet_resnet(state_dict: Dict[str, np.ndarray], depth: int = 50,

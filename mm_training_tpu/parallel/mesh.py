@@ -70,11 +70,34 @@ def local_batches_numpy(*arrs):
     """Fetch several arrays at once: one bundled device_get instead of
     serial per-array fetches. On the remote-attached backend each separate
     fetch is a full tunnel round-trip (~30 ms) — fetching the predict
-    outputs one by one measured 170 ms vs 81 ms bundled."""
+    outputs one by one measured 170 ms vs 81 ms bundled.
+
+    Multi-process: gathers THIS process's shards of every array in the one
+    bundled device_get (local_batch_numpy semantics — global row order,
+    model-axis replicas deduped), then assembles on host."""
     import jax as _jax
     if _jax.process_count() == 1:
         return tuple(_jax.device_get(arrs))
-    return tuple(local_batch_numpy(a) for a in arrs)
+    plans, shard_data = [], []
+    for a in arrs:
+        if not isinstance(a, _jax.Array):
+            plans.append(('np', a))
+            continue
+        seen = {}
+        for s in a.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen[start] = len(shard_data)
+                shard_data.append(s.data)
+        plans.append(('shards', [seen[k] for k in sorted(seen)]))
+    fetched = _jax.device_get(shard_data)
+    out = []
+    for kind, plan in plans:
+        if kind == 'np':
+            out.append(np.asarray(plan))
+        else:
+            out.append(np.concatenate([fetched[i] for i in plan], axis=0))
+    return tuple(out)
 
 
 def local_batch_numpy(arr):

@@ -252,7 +252,8 @@ def _compiler_options():
     rejects flags only the backend's libtpu knows; per-jit compiler_options
     are forwarded to (and validated by) the backend compiler instead."""
     spec = os.environ.get('MMT_XLA_OPTIONS', '')
-    opts = dict(kv.split('=', 1) for kv in spec.split(',') if '=' in kv)
+    opts = dict(kv.strip().split('=', 1)
+                for kv in spec.split(',') if '=' in kv)
     return opts or None
 
 

@@ -307,18 +307,35 @@ class Trainer:
                     train_loader, stack=kdisp):
                 timer.start()
                 prev_step = self.global_step
-                # trailing batches that don't fill a K-group run through the
-                # single-step path (no sample is dropped)
-                step_attr = '_train_step_multi' if stacked else '_train_step'
-                # mesh context resolves sharding-constraint axis names
-                with self.mesh:
-                    step_fn = self._synced_compile(step_attr, self.state,
-                                                   device_batch, rng)
-                    self.state, metrics = step_fn(self.state, device_batch,
-                                                  rng)
+                remaining = (max_steps - self.global_step if max_steps
+                             else None)
+                if stacked and remaining is not None and remaining < kdisp:
+                    # final group would overshoot max_steps: run only the
+                    # remaining micro-batches through the single-step path
+                    # so training lands EXACTLY on max_steps
+                    with self.mesh:
+                        for k in range(remaining):
+                            single = jax.tree_util.tree_map(
+                                lambda x: x[k], device_batch)
+                            step_fn = self._synced_compile(
+                                '_train_step', self.state, single, rng)
+                            self.state, metrics = step_fn(self.state, single,
+                                                          rng)
+                    n = remaining * batch['points'].shape[1]
+                else:
+                    # trailing batches that don't fill a K-group run through
+                    # the single-step path (no sample is dropped)
+                    step_attr = ('_train_step_multi' if stacked
+                                 else '_train_step')
+                    # mesh context resolves sharding-constraint axis names
+                    with self.mesh:
+                        step_fn = self._synced_compile(step_attr, self.state,
+                                                       device_batch, rng)
+                        self.state, metrics = step_fn(self.state,
+                                                      device_batch, rng)
+                    n = batch['points'].shape[0] * (
+                        batch['points'].shape[1] if stacked else 1)
                 self.global_step = int(self.state.step)  # fetch = step barrier
-                n = batch['points'].shape[0] * (batch['points'].shape[1]
-                                                if stacked else 1)
                 timer.stop(n_samples=n)
                 self.logger.log_step(self.global_step, metrics)
                 if cfg.viz_every_n_steps and (
@@ -420,7 +437,11 @@ class Trainer:
         it = iter(loader)
         with profile_trace(str(self.out_path / 'profile')):
             for _ in range(n_steps):
-                batch = next(it)
+                try:
+                    batch = next(it)
+                except StopIteration:  # n_steps > one epoch: wrap around
+                    it = iter(loader)
+                    batch = next(it)
                 device_batch = shard_batch(self.mesh, _strip(batch))
                 self.state, metrics = self._train_step(self.state,
                                                        device_batch, rng)

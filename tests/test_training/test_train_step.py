@@ -145,7 +145,7 @@ def test_compiler_options_env_parsing(monkeypatch):
     monkeypatch.delenv('MMT_XLA_OPTIONS', raising=False)
     assert _compiler_options() is None
     monkeypatch.setenv('MMT_XLA_OPTIONS',
-                       'xla_tpu_scoped_vmem_limit_kib=65536,a=b')
+                       'xla_tpu_scoped_vmem_limit_kib=65536, a=b')
     assert _compiler_options() == {
         'xla_tpu_scoped_vmem_limit_kib': '65536', 'a': 'b'}
     monkeypatch.setenv('MMT_XLA_OPTIONS', '')

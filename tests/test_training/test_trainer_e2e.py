@@ -99,6 +99,13 @@ def test_partial_dispatch_group_falls_back_to_single_steps(synth_root,
     tr.setup()
     tr.fit(max_epochs=1)
     assert tr.global_step == 4
+    # max_steps not a multiple of K: the final group is truncated to land
+    # EXACTLY on max_steps (no K-1 overshoot)
+    cfg = _cfg(tmp_path, steps_per_dispatch=3, out_path=str(tmp_path / 'om'))
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.fit(max_epochs=1, max_steps=2)
+    assert tr.global_step == 2
 
 
 def test_per_odd_eval_matrix(synth_root, tmp_path):
