@@ -180,10 +180,19 @@ class NuscMVDetDataset:
         path = os.path.join(cfg.depth_gt_root, 'depth_gt',
                             os.path.split(filename)[-1] + '.bin')
         if not os.path.isfile(path):
-            raise FileNotFoundError(
-                f'depth_gt_root is set but {path} is missing — run '
-                'mm_training_tpu.scripts.gen_depth_gt --dataset nuscenes '
-                'first')
+            # gen_depth_gt skips samples whose lidar file is absent (it
+            # warns with a count); crashing mid-epoch inside the loader
+            # pool would be worse than one degenerate depth target, so
+            # warn once and fall back to an empty grid for this camera
+            if not getattr(self, '_depth_gt_warned', False):
+                self._depth_gt_warned = True
+                import warnings
+                warnings.warn(
+                    f'missing depth-GT bin {path} (sample skipped by '
+                    'gen_depth_gt, e.g. no lidar file) — using an empty '
+                    'depth grid; further misses are silent')
+            return uvd_to_depth_grid(np.zeros((0, 3)), (fH, fW),
+                                     downsample=ds)
         uvd = np.fromfile(path, np.float32).reshape(-1, 3).astype(np.float64)
         u = uvd[:, 0] * resize - crop[0]
         v = uvd[:, 1] * resize - crop[1]

@@ -23,7 +23,6 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 from ..utils import universal as U
-from ..utils import universal
 
 __all__ = ['MAPCalculator', 'evaluate_ap', 'box_iou_aabb', 'obj2arrays_bev',
            'cosine_similarity']
@@ -331,8 +330,8 @@ class MAPCalculator:
         normalizes to host numpy here, exactly like the reference evaluator
         runs on either torch or numpy via utils/universal (eval.py:11)."""
         def host(frame):
-            return [universal.to_numpy(a)
-                    if universal.is_tensor_or_ndarray(a) else a
+            return [U.to_numpy(a)
+                    if U.is_tensor_or_ndarray(a) else a
                     for a in frame]
 
         self.gts.extend(host(f) for f in gt)

@@ -127,7 +127,12 @@ def main_nuscenes(args):
     else:
         outs = [_process_nusc_sample(w) for w in work]
     n = sum(len(o) for o in outs)
+    skipped = sum(1 for o in outs if not o)
     print(f'wrote {n} depth-GT bins under {os.path.join(args.out, "depth_gt")}')
+    if skipped:
+        print(f'WARNING: skipped {skipped}/{len(outs)} samples with no '
+              'usable LIDAR_TOP file — their cameras get empty depth grids '
+              'at train time')
 
 
 def _process_frame(args):

@@ -114,6 +114,15 @@ def main(argv=None):
     cfg = build_config(cli)
     if cfg.use_lidar:
         import dataclasses as _dc
+        prev = cfg.get_lidar_conf().variant
+        if prev != args.lidar_variant:
+            # a checkpoint written with one variant cannot restore into a
+            # model built with the other (different params subtree) — make
+            # the override loud so training configs stay consistent
+            print(f'NOTE: lidar encoder variant {prev!r} (from the config) '
+                  f'-> {args.lidar_variant!r} for this import; train/eval '
+                  f'configs that load the result must also set '
+                  f'LidarEncoderConf.variant={args.lidar_variant!r}')
         cfg = cfg.replace(lidar_conf=_dc.replace(
             cfg.get_lidar_conf(), variant=args.lidar_variant))
     report = import_checkpoint(args.ckpt, cfg, out=args.out,

@@ -103,7 +103,12 @@ class MetricsLogger:
         plus a boxes .json ([x,y,z,dx,dy,dz,yaw] + label)."""
         pts = np.asarray(points, np.float32)
         xyz = pts[:, :3]
-        inten = (pts[:, 3] if pts.shape[1] > 3
+        # point layout is [x, y, z, is_radar, speed, power, intensity, ...]
+        # (data/loaders.py) — intensity lives at column 6; column 3 is the
+        # 0/1 radar flag. Fall back to the flag (radar white, lidar black)
+        # only when no intensity column exists.
+        inten = (pts[:, 6] if pts.shape[1] > 6
+                 else pts[:, 3] if pts.shape[1] > 3
                  else np.zeros(len(pts), np.float32))
 
         def corners(bx):
@@ -144,8 +149,11 @@ class MetricsLogger:
                         'property uchar red\nproperty uchar green\n'
                         'property uchar blue\nend_header\n')
                 i8 = np.clip(inten * 255, 0, 255).astype(np.uint8)
-                for (x, y, z), v in zip(xyz, i8):
-                    f.write(f'{x:.3f} {y:.3f} {z:.3f} {v} {v} {v}\n')
+                # vectorized write: a per-point python loop costs seconds
+                # for 100k+-point clouds, serialized with training
+                rows = np.concatenate(
+                    [xyz, np.stack([i8, i8, i8], -1)], axis=1)
+                np.savetxt(f, rows, fmt='%.3f %.3f %.3f %d %d %d')
             scene = {
                 'gt': [] if gt_boxes is None else
                       np.asarray(gt_boxes)[:, :7].tolist(),
