@@ -68,11 +68,9 @@ def depth_labels_single_cam(points: jnp.ndarray, mask: jnp.ndarray,
     grid = jax.ops.segment_min(jnp.where(valid, depth, _EMPTY), seg,
                                num_segments=fh * fw + 1)[:fh * fw]
     grid = grid.reshape(fh, fw)
-
-    d0, _, step = d_bound
-    idx = (grid - (d0 - step)) / step
-    idx = jnp.where((idx < num_bins) & (idx >= 0.0), idx, 0.0)
-    return jax.nn.one_hot(idx.astype(jnp.int32), num_bins, dtype=jnp.float32)
+    # single binning implementation shared with the precomputed-GT path
+    # (train_step.py consumes both; the two must stay bit-identical)
+    return depth_grid_to_onehot(grid, d_bound, num_bins)
 
 
 def depth_grid_to_onehot(grid: jnp.ndarray, d_bound, num_bins: int

@@ -71,10 +71,13 @@ def _lift_splat_one(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
     d, p = depth.shape
     pix = jax.lax.broadcasted_iota(jnp.int32, (d, p), 1)
     seg = flat_idx * p + pix                                     # [(G+1)*P) ids
-    a = jax.ops.segment_sum(depth.reshape(-1), seg.reshape(-1),
+    # accumulate in f32 (same rationale as lift_splat_factorized: thousands
+    # of bf16 adds per cell lose mantissa), return the compute dtype
+    a = jax.ops.segment_sum(depth.reshape(-1).astype(jnp.float32),
+                            seg.reshape(-1),
                             num_segments=(n_cells + 1) * p)
     a = a.reshape(n_cells + 1, p)[:n_cells]
-    return jnp.dot(a, ctx, preferred_element_type=jnp.float32)
+    return jnp.dot(a, ctx, preferred_element_type=jnp.float32).astype(ctx.dtype)
 
 
 def lift_splat(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
@@ -98,9 +101,12 @@ def lift_splat(depth: jnp.ndarray, ctx: jnp.ndarray, flat_idx: jnp.ndarray,
     def step(_, args):
         dep, cx, fi = args
         vals = (dep[:, :, None] * cx[None, :, :]).reshape(d * p, c)
-        out = jax.ops.segment_sum(vals, fi.reshape(d * p),
+        # accumulate in f32, matching lift_splat_factorized — a BEV cell can
+        # receive thousands of contributions, and bf16 adds lose them; the
+        # convert fuses into the scatter, so the [D*P, C] slab stays bf16
+        out = jax.ops.segment_sum(vals.astype(jnp.float32), fi.reshape(d * p),
                                   num_segments=n_cells + 1)[:n_cells]
-        return None, out
+        return None, out.astype(ctx.dtype)
 
     _, out = jax.lax.scan(step, None, (depth, ctx, flat_idx))
     return out
@@ -154,7 +160,7 @@ def lift_splat_factorized(depth: jnp.ndarray, ctx: jnp.ndarray,
                    preferred_element_type=jnp.float32)            # [M,D,fW,C]
     seg = (flat_idx_xy
            + (n_cells + 1) * jnp.arange(m, dtype=jnp.int32)[:, None, None])
-    out = jax.ops.segment_sum(a.reshape(m * d * fw, c).astype(jnp.float32),
+    out = jax.ops.segment_sum(a.reshape(m * d * fw, c),  # already f32 (einsum)
                               seg.reshape(-1),
                               num_segments=m * (n_cells + 1))
     # back to the compute dtype: returning f32 would silently promote the

@@ -16,7 +16,7 @@ the exact first-K-in-order semantics (adds a sort).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,9 @@ def voxelize_pillars_dense(points: jnp.ndarray, mask: jnp.ndarray,
                            pc_range, voxel_size, grid_hw: Tuple[int, int],
                            num_features: int = 5,
                            max_points_per_voxel: Optional[int] = None,
-                           return_count: bool = False) -> jnp.ndarray:
+                           return_count: bool = False
+                           ) -> Union[jnp.ndarray,
+                                      Tuple[jnp.ndarray, jnp.ndarray]]:
     """Mean-pool padded points into a dense pillar grid.
 
     Args:
@@ -55,11 +57,22 @@ def voxelize_pillars_dense(points: jnp.ndarray, mask: jnp.ndarray,
     x0, y0, z0, x1, y1, z1 = pc_range
     vx, vy, vz = voxel_size
 
+    # pillar-only by design (see module docstring): the segment id below is
+    # (yi, xi) with no z term, so multiple z bins would be silently averaged
+    # into one pillar — refuse configs where vz doesn't cover the z extent.
+    nz = 1 + int((z1 - z0) / vz - 1e-6)
+    if nz != 1:
+        raise ValueError(
+            f'voxelize_pillars_dense is pillar-only: voxel z size {vz} gives '
+            f'{nz} z bins over [{z0}, {z1}]; distinct z voxels would be '
+            'averaged together. Use vz >= the z extent (reference geometry, '
+            'conf_aim.py:194-201) or a true 3D voxelizer.')
+
     xi = jnp.floor((points[:, 0] - x0) / vx).astype(jnp.int32)
     yi = jnp.floor((points[:, 1] - y0) / vy).astype(jnp.int32)
     zi = jnp.floor((points[:, 2] - z0) / vz).astype(jnp.int32)
     valid = (mask & (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
-             & (zi >= 0) & (zi < 1 + int((z1 - z0) / vz - 1e-6)))
+             & (zi >= 0) & (zi < nz))
     seg = jnp.where(valid, yi * nx + xi, g)                      # [P]
 
     feats = points[:, :num_features]

@@ -71,10 +71,27 @@ def bda_bev_warp(bev: jnp.ndarray, bda_mat: jnp.ndarray) -> jnp.ndarray:
     """
     b, h, w, _ = bev.shape
     r = bda_mat[:, :3, :3] if bda_mat.shape[-1] == 4 else bda_mat
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    t_fwd = jnp.array([[1, 0, cx], [0, 1, cy], [0, 0, 1]], jnp.float32)
-    t_bwd = jnp.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], jnp.float32)
-    mat = t_fwd[None] @ r @ t_bwd[None]
+    # Compose the pixel affine from the 2x2 xy block only:
+    #   M = [lin | c - lin @ c] — rotate/flip/scale about the center pixel
+    # c = ((W-1)/2, (H-1)/2), which is exactly where metric (0, 0) lands on
+    # the symmetric BEV grid, so the warped camera BEV stays aligned with
+    # the metrically-scaled lidar BEV / boxes / points.
+    #
+    # Deliberate deviation from the reference (bev_depth.py:69-84): it
+    # composes T(c) @ bda[:3,:3] @ T(-c) and truncates to 2x3, but bda's
+    # z row carries scale_ratio at [2,2], which leaks s into the
+    # translation (t = s*c - lin @ c) — rotating about center while
+    # scaling about pixel (0, 0), shifting the camera BEV by (s-1)*c
+    # (~3 px at s=1.05) relative to the scaled targets. Ours scales about
+    # center. (Feeding the full 3x3 through the projective divide is wrong
+    # the other way: the divide by s cancels the scale entirely.)
+    lin = r[:, :2, :2]
+    c = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0], jnp.float32)
+    t = c[None, :] - jnp.einsum('bij,j->bi', lin, c)
+    top = jnp.concatenate([lin, t[:, :, None]], axis=2)          # [B, 2, 3]
+    bottom = jnp.broadcast_to(jnp.array([[[0.0, 0.0, 1.0]]], jnp.float32),
+                              (b, 1, 3))
+    mat = jnp.concatenate([top, bottom], axis=1)                 # [B, 3, 3]
     return warp_affine_nhwc(bev, mat)
 
 

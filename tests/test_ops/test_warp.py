@@ -43,6 +43,31 @@ def test_bda_rotation_90deg():
     assert abs(out[0, 6, 4, 0] - 1.0) < 1e-4   # rotated to +2 in y
 
 
+def test_bda_scale_is_applied():
+    """A uniform BDA scale must actually scale the BEV about the CENTER
+    pixel: bda's z row carries scale_ratio at [2,2], and the homogeneous
+    divide used to cancel it exactly, leaving camera features unscaled
+    while boxes/points WERE scaled. The center convention is a deliberate
+    deviation from the reference (bev_depth.py:83 truncates to 2x3, which
+    leaks s into the translation and scales about pixel (0,0)) — metric
+    (0,0) lands at ((W-1)/2, (H-1)/2) on the symmetric grid, so center is
+    what aligns with the metrically-scaled lidar BEV and targets."""
+    img = np.zeros((1, 17, 17, 1), np.float32)
+    img[0, 8, 12, 0] = 1.0  # +4 in x from the (8, 8) center
+    bda = np.eye(4, dtype=np.float32) * 2.0
+    bda[3, 3] = 1.0
+    out = np.asarray(bda_bev_warp(jnp.asarray(img), jnp.asarray(bda)[None]))
+    # dst(q) = src(M^-1 q): the delta at +4 lands at +8 from center
+    assert abs(out[0, 8, 16, 0] - 1.0) < 1e-4, out[0, 8].ravel()
+    # and a pure-scale warp of a linear ramp matches the analytic form
+    ramp = np.broadcast_to(np.arange(17.0, dtype=np.float32)[None, :, None],
+                           (17, 17, 1))[None]
+    out = np.asarray(bda_bev_warp(jnp.asarray(ramp), jnp.asarray(bda)[None]))
+    xs = np.arange(17.0)
+    expect = (xs - 8.0) / 2.0 + 8.0
+    np.testing.assert_allclose(out[0, 8, :, 0], expect, atol=1e-4)
+
+
 def test_hflip():
     img = jnp.arange(12.0).reshape(1, 2, 6, 1)
     out = np.asarray(hflip(img))
