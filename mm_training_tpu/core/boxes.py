@@ -27,7 +27,6 @@ def corners_3d(boxes: np.ndarray, origin=(0.5, 0.5, 0.5)) -> np.ndarray:
     (corner k = (x_sign, y_sign, z_sign) of bit pattern), matching a simple
     unit-cube enumeration (not mmdet3d's specific order — only used for viz).
     """
-    xp = np
     boxes = np.asarray(boxes)
     n = boxes.shape[0]
     dims = boxes[:, 3:6]
@@ -69,7 +68,7 @@ def boxes_to_aabb_bev(boxes: np.ndarray) -> np.ndarray:
 
 
 def points_in_boxes_mask(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """Axis-aligned containment test used by the reference's >=5-point
+    """Axis-aligned containment test used by the reference's >5-point
     annotation filter (dataset/src/data_loader.py:129-150 — note it ignores
     yaw, testing the AABB). points [P, 3+], boxes [N, 6+] -> bool [N, P]."""
     p = np.asarray(points)[None, :, :3]        # [1, P, 3]

@@ -66,7 +66,6 @@ def rig_is_row_independent(sensor2ego, intrin, tol: float = 1e-5) -> bool:
     roll/pitch + zero-skew intrinsics (what camera virtualization
     produces) make them exactly 0. Host-side numpy — call once per rig.
     """
-    import numpy as np
     s2e = np.asarray(sensor2ego, np.float64).reshape(-1, 4, 4)
     k = np.asarray(intrin, np.float64).reshape(-1, 4, 4)
     combine = s2e @ np.linalg.inv(k)
@@ -77,13 +76,15 @@ def quantize_geometry(geom_xyz: jnp.ndarray, voxel_coord, voxel_size) -> jnp.nda
     """Ego xyz -> integer voxel indices (lss_fpn.py:461-462).
 
     idx = int((xyz - (voxel_coord - voxel_size/2)) / voxel_size), where
-    voxel_coord is the center of voxel 0 and the int() truncates toward zero
-    (torch .int()); we floor then rely on the out-of-range mask to discard
-    negatives (floor vs trunc only differ below 0, which is out of range).
+    voxel_coord is the center of voxel 0 and the int() truncates toward
+    zero (torch .int()). Truncation is reproduced exactly — including its
+    quirk that coordinates up to one voxel BELOW the grid minimum land in
+    edge voxel 0 and pass the range mask (floor would send them to -1 and
+    the trash bin), so edge-voxel BEV features bit-match the reference.
     """
     vc = jnp.asarray(voxel_coord, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
-    return jnp.floor((geom_xyz - (vc - vs / 2.0)) / vs).astype(jnp.int32)
+    return ((geom_xyz - (vc - vs / 2.0)) / vs).astype(jnp.int32)
 
 
 def flat_bev_index(geom_idx: jnp.ndarray, voxel_num) -> jnp.ndarray:

@@ -97,6 +97,20 @@ def assign_huniou(ious: np.ndarray, scores=None, iou_th=0.3):
     return gt_assign, pred_assign
 
 
+def center_distance_cost(b1: np.ndarray, b2: np.ndarray,
+                         distance_thr: float) -> np.ndarray:
+    """Gated center-distance cost between ltrb AABBs; [N,4] x [M,4] -> [N,M]
+    (eval.py:743-766 cost_matrix_by_dist). Pairs beyond the threshold get a
+    huge cost so the Hungarian never prefers them."""
+    n, m = b1.shape[0], b2.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.float32)
+    c1 = U.to_numpy((b1[:, :2] + b1[:, 2:4]) / 2.0)
+    c2 = U.to_numpy((b2[:, :2] + b2[:, 2:4]) / 2.0)
+    cost = np.linalg.norm(c1[:, None, :] - c2[None, :, :], axis=-1)
+    return np.where(cost > distance_thr, 999999.0, cost).astype(np.float32)
+
+
 def assign_distance(cost: np.ndarray, scores=None, distance_thr=2.0):
     """Hungarian on a center-distance cost matrix (eval.py:769-784)."""
     gt_assign, pred_assign = {}, {}
@@ -215,11 +229,21 @@ def _merge(frames: List[Dict[str, np.ndarray]]):
 def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
                 iou_th=0.3, assign_method='hunscore', val_field=None,
                 sim_func=None, val_metric_name=None, n_inter=11,
-                calc_op=True, return_curves=False) -> Dict[str, float]:
+                calc_op=True, return_curves=False,
+                unlabeled_classes=()) -> Dict[str, float]:
     """Dataset-level AP (eval.py:319-594 core path). With ``return_curves``
     the result carries the raw PR curve under 'curves' — unlike the
     reference, whose return_curves branch hits the ``res.update({set})``
-    bug (eval.py:584-592) and never actually returns them."""
+    bug (eval.py:584-592) and never actually returns them.
+
+    ``unlabeled_classes`` are ignored AFTER association (eval.py:451-460):
+    their GT, predictions matched to that GT, and predictions of those
+    classes all drop out of the PR statistics — GT knowledge is used for
+    the filtering, exactly like the reference.
+
+    ``assign_method='distance'`` matches on gated center distance with
+    ``iou_th`` as the distance threshold in metres (the reference pairs
+    assign_gt_det_distance with a cost_matrix_by_dist iou_func)."""
     gts = [dict(g) for g in gts]
     preds = [_sort_by(dict(p), 'score') for p in preds]
 
@@ -232,7 +256,13 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
 
     assign = _ASSIGN[assign_method]
     for gt, pred in zip(gts, preds):
-        ious = box_iou_aabb(gt['bbox'], pred['bbox'])
+        if assign_method == 'distance':
+            # Hungarian MINIMIZES this matrix: center distance, not IoU
+            ious = center_distance_cost(gt['bbox'], pred['bbox'], iou_th)
+            tiebreak = -ious  # smaller distance = better match
+        else:
+            ious = box_iou_aabb(gt['bbox'], pred['bbox'])
+            tiebreak = ious
         score = pred.get('score')
         score = None if score is None else U.to_numpy(score)
         _, pred_assigns = assign(ious, score, iou_th)
@@ -241,7 +271,7 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
             if len(lst) == 1:
                 pa[pk] = lst[0]
             elif len(lst) > 1:
-                pa[pk] = lst[int(np.argmax(ious[lst, pk]))]
+                pa[pk] = lst[int(np.argmax(tiebreak[lst, pk]))]
         correct = pa != -1
         pred['correct'] = correct
         if val_field is not None:
@@ -249,6 +279,16 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
             vals = np.zeros(len(pred['bbox']), dtype=gt_vals.dtype)
             vals[correct] = gt_vals[pa[correct]]
             pred['assigned_' + val_field] = vals
+
+        if len(unlabeled_classes) > 0:
+            ignore_gt = np.isin(U.to_numpy(gt['class']), unlabeled_classes)
+            ignore_pred = np.isin(U.to_numpy(pred['class']), unlabeled_classes)
+            # predictions matched to an ignored GT are ignored too
+            ignore_pred |= correct & ignore_gt[np.maximum(pa, 0)]
+            for k in list(gt):
+                gt[k] = U.masked_select(gt[k], ~ignore_gt)
+            for k in list(pred):
+                pred[k] = U.masked_select(pred[k], ~ignore_pred)
 
     n_gt = sum(len(g['bbox']) for g in gts)
     merged = _sort_by(_merge(preds), 'score') if preds else None
@@ -313,6 +353,8 @@ class MAPCalculator:
         self.preds: List = []
         self.gts: List = []
         self.img_names: List = []
+        # class ids ignored after association (the reference's
+        # unlabeled_classes, eval.py:672,711); config-like — reset() keeps it
         self.ignore_classes: List = []
 
     def __len__(self):
@@ -336,7 +378,13 @@ class MAPCalculator:
 
         self.gts.extend(host(f) for f in gt)
         self.preds.extend(host(f) for f in pred)
-        self.img_names.extend(img_names or [None] * len(gt))
+        # reconcile names to the frame count: a padded eval batch hands the
+        # full-length path list with a truncated (n_valid) frame list, and a
+        # longer name list would desynchronize zip(self.gts, self.img_names)
+        # for every later frame
+        names = list(img_names) if img_names is not None else []
+        names = names[:len(gt)] + [None] * max(0, len(gt) - len(names))
+        self.img_names.extend(names)
 
     def compute_bev(self, eval_class=None, iou_thr=0.3,
                     assign_method='hunscore', x_range=200.0) -> Dict[str, float]:
@@ -350,11 +398,13 @@ class MAPCalculator:
         result = evaluate_ap(gts, preds, eval_class=eval_class, iou_th=iou_thr,
                              assign_method=assign_method, val_field='class',
                              sim_func=lambda a, b: a == b,
-                             val_metric_name='cls_accuracy_bev')
+                             val_metric_name='cls_accuracy_bev',
+                             unlabeled_classes=self.ignore_classes)
         result['num_preds'] = num_preds
         yaw = evaluate_ap(gts, preds, eval_class=eval_class, iou_th=iou_thr,
                           assign_method=assign_method, val_field='yaw',
-                          sim_func=cosine_similarity, val_metric_name='aos')
+                          sim_func=cosine_similarity, val_metric_name='aos',
+                          unlabeled_classes=self.ignore_classes)
         result['aos'] = yaw['aos']
         return result
 
@@ -371,13 +421,15 @@ class MAPCalculator:
                          | {int(c) for p in preds for c in p['class']})
         out = {'all': evaluate_ap(gts, preds, iou_th=iou_thr,
                                   assign_method=assign_method,
-                                  return_curves=True)}
+                                  return_curves=True,
+                                  unlabeled_classes=self.ignore_classes)}
         for c in present:
             name = (class_names[c] if class_names and c < len(class_names)
                     else str(c))
             out[name] = evaluate_ap(gts, preds, eval_class=c, iou_th=iou_thr,
                                     assign_method=assign_method,
-                                    return_curves=True)
+                                    return_curves=True,
+                                    unlabeled_classes=self.ignore_classes)
         return out
 
     def export_pr_curves(self, out_dir, iou_thr=0.3,

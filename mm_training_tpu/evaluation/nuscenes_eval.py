@@ -11,9 +11,11 @@ framework needs no devkit at eval time:
     "clipped" AP).
   * TP metrics at d=2.0 m over true positives: ATE (center distance, m),
     ASE (1 - IoU of aligned boxes), AOE (yaw delta, rad; period pi for
-    barriers — no barriers here), AVE (velocity L2), AAE (attribute error —
-    reference predicts none and assigns per-class defaults, so 0 by
-    construction; kept for protocol completeness).
+    barriers), AVE (velocity L2), AAE (attribute error — reference predicts
+    none and assigns per-class defaults, so 0 by construction; kept for
+    protocol completeness). Devkit class exclusions apply: cones carry no
+    AOE/AVE/AAE and barriers no AVE/AAE (NaN, nanmean-excluded), and a
+    class whose max recall <= 0.1 gets worst-case 1.0 errors.
   * NDS = (5 * mAP + sum_tp (1 - min(1, err))) / 10.
 
 Also provides the submission-JSON formatter the reference produces
@@ -128,20 +130,34 @@ def _clipped_ap(acc: Dict) -> float:
     precision = tp / np.maximum(tp + fp, 1e-9)
     r_pts = np.linspace(0, 1, N_RECALL_PTS)
     p_interp = np.interp(r_pts, recall, precision, right=0)
-    p_interp = p_interp[r_pts >= MIN_RECALL]
+    # devkit calc_ap drops bins 0..round(100*min_recall) INCLUSIVE
+    # (prec[round(100*min_recall)+1:], 90 bins) — the r=0.1 bin is excluded
+    p_interp = p_interp[round(100 * MIN_RECALL) + 1:]
     p_clip = np.maximum(p_interp - MIN_PRECISION, 0)
     return float(p_clip.sum() / (len(p_clip) * (1 - MIN_PRECISION)))
 
 
 def _tp_error_means(acc: Dict) -> Dict[str, float]:
-    """Mean TP errors over the curve up to max-recall (devkit averages the
-    per-recall-bin errors; the mean over TPs is the same estimator here)."""
+    """devkit calc_tp: cumulative-mean TP-error curves sampled on the 101-pt
+    recall grid and averaged over bins (MIN_RECALL, max_recall]; a class whose
+    max recall never exceeds MIN_RECALL gets the worst-case 1.0 for every
+    error (nuscenes-devkit detection/algo.py calc_tp)."""
+    worst = {'ate': 1.0, 'ase': 1.0, 'aoe': 1.0, 'ave': 1.0}
+    n_gt = acc['n_gt']
     sel = acc['tp'] > 0
-    if not np.any(sel):
-        return {'ate': 1.0, 'ase': 1.0, 'aoe': 1.0, 'ave': 1.0}
-    e = acc['errs'][sel]
-    return {'ate': float(e[:, 0].mean()), 'ase': float(e[:, 1].mean()),
-            'aoe': float(e[:, 2].mean()), 'ave': float(e[:, 3].mean())}
+    if n_gt == 0 or not np.any(sel):
+        return worst
+    recall_curve = np.cumsum(acc['tp']) / n_gt             # per prediction
+    first_ind = round(100 * MIN_RECALL) + 1                # bin 11
+    max_recall_ind = int(np.floor(100 * recall_curve[-1] + 1e-9))
+    if max_recall_ind < first_ind:
+        return worst
+    r_pts = np.linspace(0, 1, N_RECALL_PTS)[first_ind:max_recall_ind + 1]
+    errs = acc['errs'][sel]
+    cummean = np.cumsum(errs, axis=0) / np.arange(1, len(errs) + 1)[:, None]
+    recall_at_tp = recall_curve[sel]
+    return {k: float(np.mean(np.interp(r_pts, recall_at_tp, cummean[:, i])))
+            for i, k in enumerate(('ate', 'ase', 'aoe', 'ave'))}
 
 
 class NuScenesEvaluator:
@@ -177,6 +193,14 @@ class NuScenesEvaluator:
             acc_tp = nusc_accumulate(self._gts, self._preds, cls, TP_THRESHOLD)
             e = _tp_error_means(acc_tp)
             e['aae'] = 0.0  # default-attribute assignment => no attr error
+            # devkit class exclusions (evaluate.py): cones have no
+            # orientation/velocity/attribute, barriers no velocity/attribute;
+            # those entries are NaN and nanmean-excluded from the fleet means
+            if cls in NO_VEL_CLASSES:
+                e['ave'] = float('nan')
+                e['aae'] = float('nan')
+            if cls == 'traffic_cone':
+                e['aoe'] = float('nan')
             per_class[cls] = {'ap': float(np.mean(cls_aps)), **e}
             if acc_tp['n_gt'] > 0:
                 aps.append(per_class[cls]['ap'])
@@ -184,13 +208,20 @@ class NuScenesEvaluator:
         if not aps:
             return {'mAP': 0.0, 'mATE': 1.0, 'mASE': 1.0, 'mAOE': 1.0,
                     'mAVE': 1.0, 'mAAE': 1.0, 'NDS': 0.0}
+
+        def _nanmean(vals) -> float:
+            a = np.asarray(vals, np.float64)
+            if np.all(np.isnan(a)):  # only excluded classes present
+                return 1.0
+            return float(np.nanmean(a))
+
         m = {
             'mAP': float(np.mean(aps)),
-            'mATE': float(np.mean([e['ate'] for e in errs])),
-            'mASE': float(np.mean([e['ase'] for e in errs])),
-            'mAOE': float(np.mean([e['aoe'] for e in errs])),
-            'mAVE': float(np.mean([e['ave'] for e in errs])),
-            'mAAE': float(np.mean([e['aae'] for e in errs])),
+            'mATE': _nanmean([e['ate'] for e in errs]),
+            'mASE': _nanmean([e['ase'] for e in errs]),
+            'mAOE': _nanmean([e['aoe'] for e in errs]),
+            'mAVE': _nanmean([e['ave'] for e in errs]),
+            'mAAE': _nanmean([e['aae'] for e in errs]),
         }
         tp_score = sum(1.0 - min(1.0, m[k]) for k in
                        ('mATE', 'mASE', 'mAOE', 'mAVE', 'mAAE'))

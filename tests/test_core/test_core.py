@@ -134,3 +134,16 @@ def test_rig_row_independence_check():
     s2e0 = np.eye(4)
     s2e0[:3, :3] = opt.T
     assert not rig_is_row_independent(s2e0[None], ks[None])
+
+
+def test_quantize_truncates_toward_zero_like_torch_int():
+    """torch .int() parity (lss_fpn.py:461-462): coordinates up to one
+    voxel BELOW the grid minimum truncate to edge voxel 0 and pass the
+    range mask in the reference; floor would send them to -1 / the trash
+    bin, changing edge-voxel BEV features."""
+    pts = jnp.asarray([[-0.5, 0.2, 0.2], [0.5, 0.2, 0.2], [-1.5, 0.2, 0.2]])
+    # voxel_coord (center of voxel 0) = 0.5, voxel_size = 1 -> grid min = 0
+    idx = np.asarray(quantize_geometry(pts, (0.5, 0.5, 0.5), (1.0, 1.0, 1.0)))
+    assert idx[0, 0] == 0    # in (-1, 0): trunc keeps it in edge voxel 0
+    assert idx[1, 0] == 0
+    assert idx[2, 0] == -1   # more than one voxel below: still dropped

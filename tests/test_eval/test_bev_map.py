@@ -134,3 +134,59 @@ def test_evaluate_ap_accepts_jax_arrays():
     got_c = evaluate_ap([jaxify(gt_np)], [jaxify(pr_np)],
                         eval_class=int(classes[0]))
     assert got_c['ap_auc'] == pytest.approx(ref_c['ap_auc'], abs=1e-6)
+
+
+def test_distance_assignment_matches_by_center_distance():
+    """assign_method='distance' matches on gated center distance (the
+    reference pairs assign_gt_det_distance with cost_matrix_by_dist,
+    eval.py:743-784): overlapping predictions match, far ones don't."""
+    boxes = np.asarray([_box(10, 2), _box(-30, -5)], np.float32)
+    labels = np.asarray([0, 1])
+    scores = np.asarray([0.9, 0.8], np.float32)
+
+    calc = MAPCalculator()
+    calc.update([[boxes, labels]], [[boxes, scores, labels]])
+    m = calc.compute_bev(assign_method='distance', iou_thr=2.0)
+    assert m['ap_auc'] == pytest.approx(1.0)
+
+    off = boxes.copy()
+    off[:, 0] += 30.0  # 30 m away: must NOT match at a 2 m threshold
+    calc2 = MAPCalculator()
+    calc2.update([[boxes, labels]], [[off, scores, labels]])
+    m2 = calc2.compute_bev(assign_method='distance', iou_thr=2.0)
+    assert m2['ap_auc'] == 0.0
+
+
+def test_ignore_classes_filters_after_association():
+    """MAPCalculator.ignore_classes = the reference's unlabeled_classes
+    (eval.py:451-460): ignored GT, predictions matched to it, and
+    predictions of ignored classes all drop out of the PR statistics."""
+    calc = MAPCalculator()
+    calc.ignore_classes = [7]
+    gt = np.asarray([_box(10, 2), _box(50, 5)], np.float32)
+    gl = np.asarray([0, 7])
+    # a correct class-0 pred, a pred matched to the ignored GT, and a
+    # class-7 false positive — only the first should count
+    pred = np.asarray([_box(10, 2), _box(50, 5), _box(90, -5)], np.float32)
+    ps = np.asarray([0.9, 0.8, 0.7], np.float32)
+    pl = np.asarray([0, 7, 7])
+    calc.update([[gt, gl]], [[pred, ps, pl]])
+    m = calc.compute_bev()
+    assert m['ap_auc'] == pytest.approx(1.0)
+    assert m['recall_2d'] == pytest.approx(1.0)
+    assert m['precision_2d'] == pytest.approx(1.0)
+
+
+def test_update_reconciles_img_names_with_frame_count():
+    """A padded eval batch passes the full-length path list with a
+    truncated (n_valid) frame list; names must stay frame-aligned."""
+    boxes = np.asarray([_box(10, 2)], np.float32)
+    labels = np.asarray([0])
+    scores = np.asarray([0.9], np.float32)
+    calc = MAPCalculator()
+    calc.update([[boxes, labels]], [[boxes, scores, labels]],
+                img_names=['a', 'b'])   # 1 frame, 2 paths (padded batch)
+    calc.update([[boxes, labels]], [[boxes, scores, labels]],
+                img_names=['c'])
+    assert calc.img_names == ['a', 'c']
+    assert len(calc.img_names) == len(calc.gts)

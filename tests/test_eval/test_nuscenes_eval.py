@@ -70,3 +70,47 @@ def test_format_results_schema(tmp_path):
                         'detection_name', 'detection_score', 'attribute_name'}
     # size is wlh
     assert ann['size'] == [pred[0, 4], pred[0, 3], pred[0, 5]]
+
+
+def test_cone_barrier_tp_exclusions():
+    """devkit parity: traffic cones carry no AOE/AVE/AAE and barriers no
+    AVE/AAE — those per-class entries are NaN and nanmean-excluded, so a
+    cone's (meaningless) 0.0 velocity error can't drag mAVE toward 0."""
+    ev = NuScenesEvaluator(classes=('car', 'traffic_cone'))
+    gt_c, pred_c, names_c = _frame(6, cls='car', seed=2)
+    gt_t, pred_t, names_t = _frame(6, cls='traffic_cone', seed=3)
+    # give the cars a real velocity error; cones would report 0.0
+    pred_c[:, 7] += 1.0
+    ev.update(np.concatenate([gt_c, gt_t]),
+              np.concatenate([names_c, names_t]),
+              np.concatenate([pred_c, pred_t]),
+              np.full(12, 0.9),
+              np.concatenate([names_c, names_t]))
+    m = ev.compute()
+    pc = m['per_class']['traffic_cone']
+    assert np.isnan(pc['aoe']) and np.isnan(pc['ave']) and np.isnan(pc['aae'])
+    # mAVE is the cars' error alone (cone 0.0 excluded, not averaged in)
+    assert m['mAVE'] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_low_recall_gets_worst_case_tp_errors():
+    """devkit calc_tp: a class whose max recall never exceeds MIN_RECALL
+    (0.1) reports worst-case 1.0 for every TP error, not the (tiny) mean
+    over its few confident TPs."""
+    ev = NuScenesEvaluator(classes=('car',))
+    gt, pred, names = _frame(20, seed=4)
+    ev.update(gt, names, pred[:1], np.asarray([0.9]), names[:1])  # recall 0.05
+    m = ev.compute()
+    assert m['mATE'] == 1.0 and m['mASE'] == 1.0
+    assert m['mAOE'] == 1.0 and m['mAVE'] == 1.0
+
+
+def test_clipped_ap_excludes_min_recall_bin():
+    """devkit calc_ap averages 90 bins (recall 0.11..1.00): with 10 GT and
+    exactly 5 perfect predictions (recall 0.5, precision 1.0) AP must be
+    mean over the 90-bin tail = 40/90 bins at (1-0.1)/(1-0.1)."""
+    ev = NuScenesEvaluator(classes=('car',))
+    gt, pred, names = _frame(10, seed=5)
+    ev.update(gt, names, pred[:5], np.full(5, 0.9), names[:5])
+    m = ev.compute()
+    assert m['mAP'] == pytest.approx(40 / 90, abs=1e-6)
