@@ -4,7 +4,7 @@ Re-design of dataset/src/data_loader.py (class DataLoader): orchestrates
 per-frame sensor loading — lidar+radar concat into 8-feature points, range
 filtering, camera virtualization to zero-roll/pitch pinholes, timestamp
 normalization, annotation -> array conversion with category mapping, and the
->=5-lidar-points annotation filter.
+>5-lidar-points annotation filter.
 
 Documented deviations:
   * the reference's pc-range filter drops the z test through a numpy
@@ -121,7 +121,12 @@ class FrameLoader:
                    else np.zeros((0, 10), np.float32))
 
         if self.use_lidar:
-            obj_arr = self._filter_objects_by_num_points(obj_arr, points)
+            # the reference counts LIDAR returns only (data_loader.py:130
+            # tests lidar_data.top_lidar); with radar fused the 8-feature
+            # concat carries is_radar at column 3 — exclude those rows so a
+            # box with <=5 lidar returns isn't kept by its radar targets
+            lidar_only = points[points[:, 3] == 0.0] if self.use_radar else points
+            obj_arr = self._filter_objects_by_num_points(obj_arr, lidar_only)
 
         return FrameData(path=path, points=points, cameras=cameras,
                          camera_timestamp=cam_ts, objects=obj_arr)
@@ -136,22 +141,6 @@ class FrameLoader:
     def _frame_id(path: str) -> str:
         name = os.path.splitext(os.path.basename(os.path.normpath(path)))[0]
         return name.split('_')[1]
-
-    @staticmethod
-    def _concat_lidar_radar(lidar: np.ndarray, radar, cam_ts: float) -> np.ndarray:
-        """[x,y,z,is_radar,speed,power,intensity,ts] concat
-        (data_loader.py:324-330)."""
-        nl = lidar.shape[0]
-        lid = np.concatenate([
-            lidar[:, 0:3], np.zeros((nl, 3), np.float32),
-            lidar[:, 3:4], lidar[:, 4:5]], axis=1)
-        rad_pts = np.concatenate([radar['B_LRR_C'], radar['F_LRR_C']], axis=0)
-        nr = rad_pts.shape[0]
-        rad = np.concatenate([
-            rad_pts[:, 0:3], np.ones((nr, 1), np.float32),
-            rad_pts[:, 3:5], np.zeros((nr, 1), np.float32),
-            np.full((nr, 1), cam_ts, np.float32)], axis=1)
-        return np.concatenate([rad, lid]).astype(np.float32)
 
     def _filter_range(self, pc: np.ndarray) -> np.ndarray:
         r = self.pc_range
@@ -258,8 +247,9 @@ class FrameLoader:
     @staticmethod
     def _filter_objects_by_num_points(objects: np.ndarray,
                                       points: np.ndarray) -> np.ndarray:
-        """Keep boxes with >5 points inside their AABB
-        (data_loader.py:129-150 — the reference tests the axis-aligned box)."""
+        """Keep boxes with >5 lidar points inside their AABB
+        (data_loader.py:129-150 — the reference tests the axis-aligned box
+        with a strict num_points > 5)."""
         if objects.shape[0] == 0:
             return objects
         from ..core.boxes import points_in_boxes_mask

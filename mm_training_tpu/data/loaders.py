@@ -104,8 +104,12 @@ def load_camera_data(data_folder: str, frame_id: str, use_cam: bool,
     ``read_fisheyes`` to load them for virtualization), calibration, and
     the host timestamp (camera_loader.py:92-121)."""
     cam_base = os.path.join(data_folder, 'sensor', 'camera')
-    cam_names = os.listdir(cam_base)
-    front = [c for c in cam_names if c and c[0] == 'F' and c[-1] == 'L'][0]
+    fronts = sorted(c for c in os.listdir(cam_base)
+                    if c and c[0] == 'F' and c[-1] == 'L')
+    if not fronts:
+        raise FileNotFoundError(
+            f'no front camera directory (F...L) under {cam_base}')
+    front = fronts[0]  # sorted: deterministic when several rigs coexist
     front_path = os.path.join(cam_base, front, f'{front}_{frame_id}.jpg')
     back_path = os.path.join(cam_base, 'B_MIDRANGECAM_C',
                              f'B_MIDRANGECAM_C_{frame_id}.jpg')
@@ -114,8 +118,20 @@ def load_camera_data(data_folder: str, frame_id: str, use_cam: bool,
         timestamp = json.load(f)[str(int(frame_id))]
 
     params = read_camera_params(os.path.join(data_folder, 'sensor', 'calibration'))
-    front_img = _read_image(front_path)
-    back_img = _read_image(back_path) if use_cam else None
+
+    def read_required(path: str) -> np.ndarray:
+        img = _read_image(path)
+        if img is None:
+            # a silent None would give this sample fewer virtual cameras
+            # than its batch peers — collate crash far from the cause
+            raise FileNotFoundError(f'missing or unreadable camera image '
+                                    f'{path}')
+        return img
+
+    # use_cam=False decodes nothing (deviation from the reference, which
+    # imreads the front JPG it never uses — camera_loader.py:114)
+    front_img = read_required(front_path) if use_cam else None
+    back_img = read_required(back_path) if use_cam else None
     items = [CameraFrame('front_cam', front_img, params['F_STEREO_L']),
              CameraFrame('back_cam', back_img, params['B_MIDRANGECAM_C'])]
     for name, key in (('left_cam', 'M_FISHEYE_L'), ('right_cam', 'M_FISHEYE_R')):

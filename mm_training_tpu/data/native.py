@@ -32,13 +32,29 @@ _TRIED = False
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     so_path = os.path.join(os.path.dirname(_SRC), 'pointpack.so')
+
+    def build() -> None:
+        # compile to a per-pid temp then rename: os.rename is atomic, so
+        # concurrent first-use builds (multi-process training, parallel test
+        # jobs on a shared filesystem) can't interleave writes into the
+        # final .so and leave a fresh-mtime truncated ELF behind
+        tmp = f'{so_path}.{os.getpid()}.tmp'
+        cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+               _SRC, '-o', tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+
     try:
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
-            cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                   _SRC, '-o', so_path]
-            subprocess.run(cmd, check=True, capture_output=True)
-        lib = ctypes.CDLL(so_path)
+            build()
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            # stale/corrupt/foreign-arch .so with a newer mtime — rebuild
+            # once before giving up on the native path
+            build()
+            lib = ctypes.CDLL(so_path)
     except (OSError, subprocess.CalledProcessError):
         return None
 
@@ -111,11 +127,20 @@ def pack_points_native(points: np.ndarray, bda: Optional[np.ndarray],
     n, f = pts.shape if pts.size else (0, points.shape[1] if points.ndim == 2 else 8)
     lib = _lib()
     if lib is not None:
+        if n > cap and pts is points:
+            # the C subsampler Fisher-Yates-swaps rows of its input
+            # (pointpack.cpp pack_points); don't mutate the caller's array
+            pts = pts.copy()
         out = np.empty((cap, f), np.float32)
         mask = np.empty((cap,), np.uint8)
         ts_out = ctypes.c_float(0.0)
-        bda_arr = (np.ascontiguousarray(bda, np.float32).ctypes.data
+        # keep a reference to the contiguous bda for the duration of the
+        # call: taking .ctypes.data off the ascontiguousarray temporary
+        # would free it before lib.pack_points reads it (use-after-free
+        # whenever the caller's bda isn't already contiguous float32)
+        bda_f32 = (np.ascontiguousarray(bda, np.float32)
                    if bda is not None else None)
+        bda_arr = bda_f32.ctypes.data if bda_f32 is not None else None
         lib.pack_points(pts, n, f, bda_arr, float(cam_ts),
                         ctypes.byref(ts_out), out, mask, cap,
                         ctypes.c_uint64(int(seed) & 0xFFFFFFFFFFFFFFFF))

@@ -16,7 +16,8 @@ Conventions (matching the reference):
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Tuple
+from collections import OrderedDict
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -32,9 +33,14 @@ __all__ = ['CameraModel', 'CameraPinhole', 'CameraPinholeDistorted',
 class CameraModel:
     model_name = 'base'
 
-    # class-level converter cache, keyed by parameter fingerprints
-    # (the reference caches per (target, source) hash, CameraBase.py:186-218)
-    _remap_cache: Dict[Tuple[str, str], Tuple[np.ndarray, np.ndarray]] = {}
+    # class-level LRU converter cache, keyed by parameter fingerprints
+    # (the reference caches per (target, source) hash, CameraBase.py:186-218).
+    # Bounded: each entry holds an [H, W, 2] float32 map + mask (~8 MB at
+    # production size), and aiMotive calibrations vary per sequence — an
+    # unbounded dict would grow by a rig's worth of maps per sequence for
+    # the life of the loader process.
+    _remap_cache: 'OrderedDict[Tuple[str, str], Tuple[np.ndarray, np.ndarray]]' = OrderedDict()
+    _REMAP_CACHE_MAX = 64  # ~0.5 GB worst case; > cameras x in-flight seqs
 
     def __init__(self, image_size, rotation: Optional[np.ndarray] = None,
                  translation=None):
@@ -90,8 +96,11 @@ class CameraModel:
         pipeline). Returns an image of this camera's size.
         """
         key = (self._fingerprint(), source_cam._fingerprint())
-        cached = CameraModel._remap_cache.get(key) if use_cache else None
-        if cached is None:
+        cache = CameraModel._remap_cache
+        cached = cache.get(key) if use_cache else None
+        if cached is not None:
+            cache.move_to_end(key)  # LRU touch
+        else:
             rays = self.grid_rays().astype(np.float64)
             if not np.allclose(self.cam_to_body[:3, :3], source_cam.cam_to_body[:3, :3]):
                 assert np.allclose(self.cam_to_body[:3, 3], source_cam.cam_to_body[:3, 3]), \
@@ -102,7 +111,9 @@ class CameraModel:
             mapping = px.astype(np.float32)
             cached = (mapping, invalid)
             if use_cache:
-                CameraModel._remap_cache[key] = cached
+                cache[key] = cached
+                while len(cache) > CameraModel._REMAP_CACHE_MAX:
+                    cache.popitem(last=False)
         mapping, invalid = cached
         if cv2 is not None:
             out = cv2.remap(image, mapping[..., 0], mapping[..., 1], cv2.INTER_LINEAR)

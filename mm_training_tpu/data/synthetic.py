@@ -124,15 +124,19 @@ def _radar_json(rng, objs, forward: bool):
         x, y, z = o['box'][:3]
         if (x > 2.0) != forward:
             continue
-        # convert to sensor polar (sensor at +-2m on x, aligned/flipped)
-        sx = x - (-2.0) if forward else -(x - 2.0)
+        # body -> sensor using the written calibrations exactly:
+        # F_LRR_C: RT_sensor_from_body = [I | (-2, 0, -0.5)]
+        # B_LRR_C: R = diag(-1, -1, 1), t = (2, 0, -0.5)
+        # so radar_json_to_pcd's inv(extrinsic) lands back on the object
+        sx = x - 2.0 if forward else -x + 2.0
         sy = y if forward else -y
-        r = float(np.hypot(np.hypot(sx, sy), z))
+        sz = z - 0.5
+        r = float(np.hypot(np.hypot(sx, sy), sz))
         if r < 1.0:
             continue
         targets.append({
             'azimuth': float(np.arctan2(sy, sx)),
-            'elevation': float(np.arcsin(np.clip(z / r, -1, 1))),
+            'elevation': float(np.arcsin(np.clip(sz / r, -1, 1))),
             'range': r, 'speed': float(rng.uniform(-10, 10)),
             'rcs': 1.0, 'power': float(rng.uniform(10, 40)), 'noise': 0.1,
         })

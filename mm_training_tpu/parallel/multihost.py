@@ -36,9 +36,16 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        # already initialized — idempotent like torch_dist's guards (:8-14)
-        pass
+    except RuntimeError as e:
+        # idempotent like torch_dist's guards (:8-14) — but ONLY for the
+        # already-initialized case. Any other RuntimeError (XlaRuntimeError
+        # subclasses it: bad coordinator address, rendezvous timeout) must
+        # propagate, or every host silently degrades to an independent
+        # single-process run that believes it is rank 0.
+        msg = str(e).lower()
+        if ('only be called once' not in msg
+                and 'already initialized' not in msg):
+            raise
     # Warm the global collective clique NOW, while every process is still in
     # lockstep: clique contexts are created lazily at the first collective,
     # whose rendezvous has a short timeout — a process stuck in a long trace/

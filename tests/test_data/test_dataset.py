@@ -66,3 +66,31 @@ def test_bda_transforms_boxes_and_points_consistently(dataset_root):
     ds.set_epoch(4)
     s3 = ds[0]
     assert not np.allclose(s1['bda_mat'], s3['bda_mat'])
+
+
+def test_synthetic_radar_targets_land_on_objects(dataset_root):
+    """The synthetic radar JSONs must round-trip through the written
+    calibrations: reconstructed body-frame radar returns sit on their
+    generating object centers (front radar previously landed 4 m ahead via
+    a sensor-offset sign error, and both radars 0.5 m high)."""
+    import glob
+    import json
+    import os
+    from mm_training_tpu.data.loaders import load_radar_data
+    from mm_training_tpu.data.formats import Annotation, object_to_array
+
+    ann = sorted(glob.glob(os.path.join(
+        dataset_root, 'train', '*', '*', 'dynamic', 'box', '3d_body',
+        '*.json')))[0]
+    seq_dir = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(ann))))
+    frame_id = os.path.splitext(os.path.basename(ann))[0].split('_')[1]
+    boxes = [object_to_array(o)[0] for o in Annotation(ann).objects]
+    centers = np.asarray(boxes, np.float64)[:, :3]
+
+    radar = load_radar_data(seq_dir, frame_id)
+    pts = np.concatenate([radar['F_LRR_C'], radar['B_LRR_C']])[:, :3]
+    assert len(pts) > 0
+    # every radar return reconstructs onto SOME object center
+    d = np.linalg.norm(pts[:, None, :] - centers[None, :, :], axis=-1)
+    assert float(d.min(axis=1).max()) < 1e-4  # f32 polar round-trip noise

@@ -74,3 +74,35 @@ def test_pack_points_subsample_deterministic():
     assert m1.sum() == cap
     o3, _, _ = native.pack_points_native(pts.copy(), None, 1000.5, cap, 43)
     assert not np.allclose(o1, o3)  # different seed, different subsample
+
+
+def test_pack_points_does_not_mutate_caller_array():
+    """The C subsampler Fisher-Yates-swaps rows of its input buffer; the
+    wrapper must hand it a copy so the caller's array survives and repeat
+    calls with the same seed return identical subsamples (no .copy()
+    workaround needed)."""
+    lidar, radar = _inputs(n_lidar=20000)
+    pts = native.concat_filter_native(lidar, radar, PC_RANGE, 1000.5)
+    before = pts.copy()
+    cap = 1000
+    o1, _, _ = native.pack_points_native(pts, None, 1000.5, cap, 42)
+    np.testing.assert_array_equal(pts, before)  # caller array untouched
+    o2, _, _ = native.pack_points_native(pts, None, 1000.5, cap, 42)
+    np.testing.assert_array_equal(o1, o2)       # same seed, same subsample
+
+
+def test_pack_points_accepts_noncontiguous_float64_bda():
+    """The bda pointer must stay alive for the native call: a float64 (or
+    non-contiguous) bda forces an ascontiguousarray temporary whose address
+    would dangle if not referenced (use-after-free -> garbage rotation)."""
+    lidar, radar = _inputs(n_lidar=50)
+    pts = native.concat_filter_native(lidar, radar, PC_RANGE, 1000.5)
+    c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+    rot90 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+    out64, mask, _ = native.pack_points_native(pts, rot90, 1000.5, 4096, 7)
+    out32, _, _ = native.pack_points_native(pts, rot90.astype(np.float32),
+                                            1000.5, 4096, 7)
+    k = int(mask.sum())
+    assert k == len(pts)
+    np.testing.assert_allclose(out64[:k, 0], -pts[:, 1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out64, out32, rtol=1e-6)
