@@ -61,12 +61,9 @@ class LidarBEVEncoder(nn.Module):
 
         s2d = self.conf.space_to_depth
         if s2d:
-            b, ny, nx, f = x.shape
-            x = x.reshape(b, ny // 2, 2, nx // 2, 2, f)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, ny // 2, nx // 2,
-                                                      4 * f)
+            from .resnet import space_to_depth_2x2
+            x = space_to_depth_2x2(x)
 
-        n_stages = len(self.conf.encoder_channels)
         for si, stage in enumerate(self.conf.encoder_channels):
             for ci, ch in enumerate(stage):
                 # total stride /8: without s2d the first conv of stages 1..3

@@ -168,6 +168,17 @@ def stem_s2d_mask(cin: int, features: int) -> np.ndarray:
     return mask
 
 
+def space_to_depth_2x2(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] blocking; channel-group order is
+    (row-offset, col-offset) minor — the convention the s2d stem's tap map
+    and the weight converters depend on. Shared by _S2DStem and the lidar
+    encoder."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    xb = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 class _S2DStem(nn.Module):
     """s2d(2) + masked 4x4 conv + BN + ReLU == the 7x7/2 stem, exactly.
 
@@ -180,10 +191,8 @@ class _S2DStem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b, h, w, c = x.shape
-        assert h % 2 == 0 and w % 2 == 0, (h, w)
-        xb = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        c = x.shape[-1]
+        xb = space_to_depth_2x2(x)
 
         # zero the structurally-masked taps at init too: the call-time mask
         # gives them zero gradient (and zero weight decay at zero), so they

@@ -440,7 +440,10 @@ def _merge(variables: Dict, pretrained: Tuple[Dict, Dict],
     parts = [p for p in scope.split('/') if p]
     for part in parts:
         node_p = node_p[part]
-        node_s = node_s[part] if node_s else node_s
+        # per-part membership, not collection truthiness: a BN-free scope
+        # (e.g. the fuse layer) exists under params but not batch_stats,
+        # and indexing the non-empty stats tree would KeyError
+        node_s = node_s[part] if part in node_s else {}
     graft(node_p, p_new, scope)
     if node_s and s_new:
         graft(node_s, s_new, scope)

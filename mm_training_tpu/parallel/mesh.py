@@ -83,6 +83,12 @@ def local_batches_numpy(*arrs):
         if not isinstance(a, _jax.Array):
             plans.append(('np', a))
             continue
+        if a.ndim == 0:
+            # replicated scalar (e.g. eval loss metrics riding the same
+            # bundled fetch): any one local shard is the value
+            plans.append(('scalar', len(shard_data)))
+            shard_data.append(a.addressable_shards[0].data)
+            continue
         seen = {}
         for s in a.addressable_shards:
             start = s.index[0].start or 0
@@ -95,6 +101,8 @@ def local_batches_numpy(*arrs):
     for kind, plan in plans:
         if kind == 'np':
             out.append(np.asarray(plan))
+        elif kind == 'scalar':
+            out.append(np.asarray(fetched[plan]))
         else:
             out.append(np.concatenate([fetched[i] for i in plan], axis=0))
     return tuple(out)

@@ -144,7 +144,7 @@ def _process_frame(args):
                          image_size=img_hw)
     frame = loader[path]
     grids = [depth_grid_numpy(frame.points, c.camera_params.extrinsic,
-                              c.camera_params.intrinsic, img_hw, 16)
+                              c.camera_params.intrinsic, img_hw, downsample)
              for c in frame.cameras]
     rel = os.path.relpath(path, data_root)
     out = os.path.join(out_root, os.path.splitext(rel)[0] + '_depth.npy')

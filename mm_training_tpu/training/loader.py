@@ -115,6 +115,19 @@ class PrefetchLoader:
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # never block forever in q.put: an abandoned iteration (the
+            # next(iter(loader)) init fetch, max_batches-capped evals) sets
+            # `stop` but can't drain the queue — a bare put would park this
+            # thread for the process lifetime holding prefetch+1 batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # exceptions must reach the consumer — a dead producer would
             # otherwise leave the training loop blocked on q.get() forever
@@ -122,10 +135,11 @@ class PrefetchLoader:
                 for bi in batches:
                     if stop.is_set():
                         return
-                    q.put(load_batch(bi))
-                q.put(None)
+                    if not put_or_stop(load_batch(bi)):
+                        return
+                put_or_stop(None)
             except BaseException as e:  # noqa: BLE001
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

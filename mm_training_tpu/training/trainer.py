@@ -37,8 +37,8 @@ from ..utils.logging import MetricsLogger, NullLogger
 from ..utils.profiling import StepTimer, profile_trace
 from .loader import PrefetchLoader, stack_batches
 from .optim import make_optimizer
-from .train_step import (TrainState, create_train_state, make_eval_step,
-                         make_predict_step, make_train_step,
+from .train_step import (TrainState, _strip_host_fields, create_train_state,
+                         make_eval_step, make_predict_step, make_train_step,
                          make_train_step_multi)
 
 try:
@@ -262,7 +262,8 @@ class Trainer:
                 f'checkpoint path {path!r} is not a directory')
         step_dirs = [d for d in os.listdir(path) if d.isdigit()]
         if step_dirs:
-            path = os.path.join(path, str(max(int(d) for d in step_dirs)))
+            path = os.path.join(path,
+                                str(_pick_restore_step(path, step_dirs)))
         # CheckpointManager saves the pytree under the 'default' item
         if os.path.isdir(os.path.join(path, 'default')):
             path = os.path.join(path, 'default')
@@ -301,10 +302,20 @@ class Trainer:
 
         kdisp = max(1, cfg.steps_per_dispatch)
         timer = StepTimer()
-        for epoch in range(max_epochs):
+        # resume lands in the epoch the restored step sits in — restarting
+        # at 0 would replay the whole schedule (max_epochs EXTRA epochs)
+        # and reuse epoch-0 data order. (best_val/patience restart fresh:
+        # early-stop state is not checkpointed.)
+        start_epoch = self.global_step // max(1, self.steps_per_epoch)
+        for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
             for batch, device_batch, stacked in self._device_batches(
                     train_loader, stack=kdisp):
+                if max_steps and self.global_step >= max_steps:
+                    # covers resuming a run already at/past max_steps: the
+                    # K-group path below would run zero micro-steps and
+                    # reference undefined metrics
+                    break
                 timer.start()
                 prev_step = self.global_step
                 remaining = (max_steps - self.global_step if max_steps
@@ -384,9 +395,14 @@ class Trainer:
                     eval_fn(self.state, device_batch)
             # per-row consumers get THIS process's rows only (global rows
             # are not host-fetchable across processes); all_gather_object
-            # pools the accumulations below
-            boxes, scores, labels, valid = local_batches_numpy(
-                boxes, scores, labels, valid)
+            # pools the accumulations below. The loss scalars ride the same
+            # bundled fetch — separate float(v) calls would each pay a
+            # tunnel round-trip (~30 ms) on remote-attached backends
+            mkeys = list(metrics)
+            fetched = local_batches_numpy(boxes, scores, labels, valid,
+                                          *(metrics[k] for k in mkeys))
+            boxes, scores, labels, valid = fetched[:4]
+            metrics = dict(zip(mkeys, fetched[4:]))
             self._accumulate_map(batch, boxes, scores, labels, valid)
             if log and bi == 0:
                 self._log_scene_panel(batch, boxes, scores, labels, valid,
@@ -443,8 +459,14 @@ class Trainer:
                     it = iter(loader)
                     batch = next(it)
                 device_batch = shard_batch(self.mesh, _strip(batch))
-                self.state, metrics = self._train_step(self.state,
-                                                       device_batch, rng)
+                # mesh context + synced compile like every other step call
+                # site: sharding-constraint axis names need the mesh, and a
+                # multi-process profile must not skip the compile barrier
+                with self.mesh:
+                    step_fn = self._synced_compile('_train_step', self.state,
+                                                   device_batch, rng)
+                    self.state, metrics = step_fn(self.state,
+                                                  device_batch, rng)
                 # forced fetch, not block_until_ready: the latter does not
                 # synchronize on remote-attached backends, which would end
                 # the trace before the steps finish
@@ -517,6 +539,12 @@ class Trainer:
             gt0 = np.asarray(batch['gt_boxes'][0])[np.asarray(batch['gt_mask'][0])]
             pred_b = np.asarray(boxes[0])[v]
             pred_l = np.asarray(labels[0])[v]
+            if len(pred_b):
+                # decode returns bottom-center z (mmdet3d parity); every viz
+                # helper (box_corners_3d, log_scene_3d) and the GT use
+                # gravity-center z — shift once here
+                pred_b = pred_b.copy()
+                pred_b[:, 2] += pred_b[:, 5] / 2.0
             img = render_bev(pts0, gt_boxes=gt0, pred_boxes=pred_b,
                              pred_labels=pred_l,
                              pc_range=self.cfg.point_cloud_range, px_per_m=2.0)
@@ -654,17 +682,48 @@ class Trainer:
         for i, path in enumerate(paths):
             v = valid[i]
             d = boxes_to_aimotive_dict(boxes[i][v], scores[i][v], labels[i][v])
-            rel = path.replace(str(self.data_root), str(save_dir))
-            Path(rel).parent.mkdir(parents=True, exist_ok=True)
-            with open(rel, 'w') as f:
+            # relpath, not str.replace: replace() fires on EVERY occurrence
+            # of data_root in the path and silently leaves the path
+            # unchanged on a normalization mismatch — which would overwrite
+            # the dataset's ground-truth annotation JSON in place
+            rel = os.path.relpath(os.path.abspath(path),
+                                  os.path.abspath(str(self.data_root)))
+            if rel.startswith('..'):
+                rel = os.path.basename(path)  # outside data_root: flat name
+            out_file = Path(save_dir) / rel
+            out_file.parent.mkdir(parents=True, exist_ok=True)
+            with open(out_file, 'w') as f:
                 json.dump(d, f)
 
 
-_HOST_KEYS = ('path', 'n_valid', 'n_valid_global')
-
-
 def _strip(batch):
-    return {k: v for k, v in batch.items() if k not in _HOST_KEYS}
+    # single source of truth for host-only keys: train_step strips the
+    # same set before tracing
+    return _strip_host_fields(batch)
+
+
+def _pick_restore_step(root: str, step_dirs) -> int:
+    """Pick the step to restore from a directory of step checkpoints.
+
+    A best-k CheckpointManager root ('saved_models/best') keeps the top
+    save_top_k steps — the newest kept step is NOT the best one, so ask
+    orbax for the best-metric step (the metrics are stored per step);
+    fall back to the latest step for metric-less roots ('latest', external
+    dirs)."""
+    if ocp is not None and len(step_dirs) > 1:
+        try:
+            opts = ocp.CheckpointManagerOptions(
+                best_fn=lambda m: m['val_detection_loss'], best_mode='min')
+            mgr = ocp.CheckpointManager(root, options=opts)
+            try:
+                best = mgr.best_step()
+            finally:
+                mgr.close()
+            if best is not None and str(best) in step_dirs:
+                return int(best)
+        except Exception:
+            pass
+    return max(int(d) for d in step_dirs)
 
 
 def _state_to_pytree(state: TrainState):

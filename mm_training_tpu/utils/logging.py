@@ -76,7 +76,10 @@ class MetricsLogger:
             self.wandb_run.log(dict(metrics), step=step)
 
     def log_step(self, step: int, metrics):
-        if step % self.log_every:
+        # interval-crossing gate, not modulo: under K-step dispatch the step
+        # counter advances by K per call and `step % log_every == 0` would
+        # rarely (for some K never) hit
+        if step // self.log_every <= self._step_last // self.log_every:
             return
         now = time.time()
         sps = (step - self._step_last) / max(now - self._t_last, 1e-9)
@@ -100,7 +103,12 @@ class MetricsLogger:
         When a wandb run is live, logs the same lidar/beta payload; always
         also writes an offline equivalent under out_path/scenes/: an ASCII
         .ply of the cloud (intensity-colored, viewable in MeshLab/CloudCompare)
-        plus a boxes .json ([x,y,z,dx,dy,dz,yaw] + label)."""
+        plus a boxes .json ([x,y,z,dx,dy,dz,yaw] + label).
+
+        Boxes use GRAVITY-center z (the dataset/gt convention and
+        renderer.box_corners_3d's); decode outputs are bottom-center and
+        must be shifted by +dz/2 before logging (trainer._log_scene_panel
+        does)."""
         pts = np.asarray(points, np.float32)
         xyz = pts[:, :3]
         # point layout is [x, y, z, is_radar, speed, power, intensity, ...]
@@ -116,7 +124,8 @@ class MetricsLogger:
             c, s = np.cos(yaw), np.sin(yaw)
             sx = np.asarray([-1, 1, 1, -1, -1, 1, 1, -1]) * dx / 2
             sy = np.asarray([-1, -1, 1, 1, -1, -1, 1, 1]) * dy / 2
-            sz = np.asarray([0, 0, 0, 0, 1, 1, 1, 1]) * dz
+            # gravity-center z, matching renderer.box_corners_3d
+            sz = np.asarray([-1, -1, -1, -1, 1, 1, 1, 1]) * dz / 2
             return np.stack([x + c * sx - s * sy, y + s * sx + c * sy,
                              z + sz], -1)
 
@@ -172,10 +181,15 @@ class MetricsLogger:
         panels every 200 steps, mm_training_aim.py:270-284,491-499). Also
         dumped as a PNG under out_path/panels/ so runs without TB/wandb
         still get inspectable artifacts."""
+        # the renderer produces BGR (cv2 convention, kept for the imwrite
+        # path below); TensorBoard and wandb interpret channels as RGB
+        rgb = (image[..., ::-1] if image.ndim == 3 and image.shape[-1] == 3
+               else image)
         if self.tb is not None:
-            self.tb.add_image(name, image.transpose(2, 0, 1), step)
+            self.tb.add_image(name, rgb.transpose(2, 0, 1), step)
         if self.wandb_run is not None:  # pragma: no cover
-            self.wandb_run.log({name: wandb.Image(image)}, step=step)
+            self.wandb_run.log({name: wandb.Image(np.ascontiguousarray(rgb))},
+                               step=step)
         try:
             import cv2
             panels = self.out_path / 'panels'

@@ -91,7 +91,9 @@ def maximum(a, b):
 
 
 def where(condition, a, b):
-    return get_xp(condition).where(condition, a, b)
+    # dispatch on the operand like every other wrapper: a numpy condition
+    # over jax operands must not pull the operands to host
+    return get_xp(a).where(condition, a, b)
 
 
 def clip(a, a_min, a_max):

@@ -129,3 +129,20 @@ def test_merge_pretrained_backbone_grafts_into_model_tree():
     k = out['params']['backbone']['img_backbone']['stem']['Conv_0']['kernel']
     np.testing.assert_allclose(np.asarray(k),
                                np.transpose(sd['conv1.weight'], (2, 3, 1, 0)))
+
+
+def test_merge_subtree_bn_free_scope():
+    """Grafting into a scope that exists under params but NOT batch_stats
+    (a BN-free module) must not KeyError on the stats traversal."""
+    import numpy as np
+    from mm_training_tpu.models import torch_import as ti
+    variables = {
+        'params': {'fuse': {'kernel': np.zeros((2, 2), np.float32)},
+                   'trunk': {'bn': {'scale': np.ones((2,), np.float32)}}},
+        'batch_stats': {'trunk': {'bn': {'mean': np.zeros((2,), np.float32)}}},
+    }
+    merged = ti.merge_subtree(
+        variables, {'kernel': np.ones((2, 2), np.float32)}, {}, scope='fuse')
+    assert float(merged['params']['fuse']['kernel'].sum()) == 4.0
+    # untouched collections survive
+    assert 'trunk' in merged['batch_stats']

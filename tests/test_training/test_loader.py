@@ -65,3 +65,29 @@ def test_pad_last_marks_n_valid():
     assert batches[0].get('n_valid') == 4
     assert batches[2].get('n_valid') == 2      # padded by repeating the last
     np.testing.assert_array_equal(batches[2]['x'][2], batches[2]['x'][3])
+
+
+def test_abandoned_iteration_releases_producer_thread():
+    """Abandoning an iteration (next(iter(loader)) init fetches,
+    max_batches-capped evals) must let the producer exit: a producer parked
+    forever in q.put() leaks the thread plus prefetch+1 full batches per
+    abandonment."""
+    import threading
+    import time
+
+    ld = PrefetchLoader(_ArrayDataset(64), batch_size=1, shuffle=False,
+                        num_workers=1, prefetch=1)
+    g0 = iter(ld)
+    next(g0)          # spawn the persistent pool worker before baselining
+    g0.close()
+    time.sleep(1.0)
+    base = threading.active_count()
+    for _ in range(8):
+        g = iter(ld)
+        next(g)
+        g.close()     # generator finally -> stop.set()
+    deadline = time.time() + 15.0
+    while time.time() < deadline and threading.active_count() > base:
+        time.sleep(0.2)
+    assert threading.active_count() <= base, \
+        f'{threading.active_count() - base} producer threads still alive'

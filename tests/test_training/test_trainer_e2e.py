@@ -171,3 +171,41 @@ def test_pitched_rig_auto_falls_back_to_general_splat(synth_root, tmp_path):
         tr.state, metrics = tr._train_step(tr.state, device_batch,
                                            jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics['train_loss']))
+
+
+def test_restore_best_picks_best_metric_step(synth_root, tmp_path):
+    """restore('saved_models/best') must load the BEST-metric step, not the
+    newest of the kept top-k (a top-k manager retains later, worse steps)."""
+    import jax.numpy as jnp
+    cfg = _cfg(tmp_path, save_top_k=5)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.init_state(next(iter(tr.loader('train'))))
+    for step, loss in ((10, 1.0), (20, 0.1), (30, 0.5)):
+        tr.state = tr.state.replace(step=jnp.asarray(step, jnp.int32))
+        tr.save_checkpoint('best', metrics={'val_detection_loss': loss})
+    tr.restore(str(tr.out_path / 'saved_models' / 'best'))
+    assert int(tr.state.step) == 20  # best val loss, not max step (30)
+    # metric-less roots (the 'latest' manager) still restore the newest
+    tr.state = tr.state.replace(step=jnp.asarray(7, jnp.int32))
+    tr.save_checkpoint('latest')
+    tr.state = tr.state.replace(step=jnp.asarray(9, jnp.int32))
+    tr.save_checkpoint('latest')
+    tr.restore(str(tr.out_path / 'saved_models' / 'latest'))
+    assert int(tr.state.step) == 9
+
+
+def test_resume_at_max_steps_is_a_noop(synth_root, tmp_path):
+    """Resuming a run whose checkpoint already sits at max_steps must not
+    crash (the K-group path would run zero micro-steps) and must not train
+    extra steps; resume also restarts inside the restored epoch, not at 0."""
+    cfg = _cfg(tmp_path, steps_per_dispatch=2)
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.fit(max_epochs=1)                      # 4 steps; saves 'latest'
+    steps = tr.global_step
+    assert steps == 4
+    tr2 = _trainer(cfg, synth_root)
+    tr2.setup()
+    tr2.fit(max_epochs=2, max_steps=steps)    # restores latest at step 4
+    assert tr2.global_step == steps           # nothing retrained
