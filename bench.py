@@ -72,11 +72,19 @@ def main():
     dt = time.perf_counter() - t0
 
     sps = cfg.batch_size * K_STEPS * dispatches / dt
+    # the CPU smoke fallback must be distinguishable from the real chip
+    # benchmark: tiny-geometry CPU throughput vs the A100 baseline is
+    # meaningless, and a silent TPU-attach failure must not be recorded as
+    # a perf regression under the TPU metric name
+    metric = 'train_samples_per_sec_lidar_cam_radar'
+    if not on_tpu:
+        metric += '_cpu_smoke'
     print(json.dumps({
-        'metric': 'train_samples_per_sec_lidar_cam_radar',
+        'metric': metric,
         'value': round(sps, 4),
         'unit': 'samples/s/chip',
         'vs_baseline': round(sps / A100_BASELINE_SAMPLES_PER_SEC, 4),
+        'backend': jax.default_backend(),
     }))
 
 

@@ -24,10 +24,6 @@ from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 @dataclass(frozen=True)
 class ImageBackboneConf:
     """ResNet image backbone (reference conf_aim.py:53-61)."""
@@ -365,8 +361,11 @@ class Config:
     def out_shape(self) -> Tuple[int, int]:
         """(ny, nx) full-resolution BEV grid (conf_aim.py:39-40)."""
         pc = self.point_cloud_range
-        return (int((pc[4] - pc[1]) / self.voxel_size[1]),
-                int((pc[3] - pc[0]) / self.voxel_size[0]))
+        # round(), not int(): float division is inexact for non-binary
+        # extents (30.0/0.2 = 149.999...), and truncation would drop a grid
+        # row and break the /8 divisibility contract (bev_hw already rounds)
+        return (int(round((pc[4] - pc[1]) / self.voxel_size[1])),
+                int(round((pc[3] - pc[0]) / self.voxel_size[0])))
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -411,7 +410,11 @@ class Config:
             z_bound=(pc[2], pc[5], vs[2]),
             d_bound=(2.0, pc[3] + 1.6, 0.5),
             final_dim=self.final_dim,
-            output_channels=self.camera_feature_channels or 80,
+            # PER-SWEEP context width: LSSFPN concats num_sweeps sweep BEVs
+            # on channels (lss_fpn.py:157-163), so the post-concat total is
+            # camera_feature_channels = 80 * num_sweeps. Passing the total
+            # here would double-count sweeps (80*S per sweep -> 80*S*S out).
+            output_channels=80,
         )
 
     def get_head_conf(self) -> HeadConf:

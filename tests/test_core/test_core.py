@@ -147,3 +147,22 @@ def test_quantize_truncates_toward_zero_like_torch_int():
     assert idx[0, 0] == 0    # in (-1, 0): trunc keeps it in edge voxel 0
     assert idx[1, 0] == 0
     assert idx[2, 0] == -1   # more than one voxel below: still dropped
+
+
+def test_multisweep_channels_are_per_sweep():
+    """LSSFPN's output_channels is the PER-SWEEP context width; the sweep
+    BEVs concat on channels, so passing the post-concat total would build a
+    num_sweeps^2-wide camera BEV that silently disagrees with the fuse/head
+    widths."""
+    cfg = tiny_test_config(use_cam=True, num_sweeps=2)
+    assert cfg.get_backbone_conf().output_channels == 80
+    assert cfg.camera_feature_channels == 160       # post-concat total
+    assert cfg.fuse_layer_in_channels == 160 + cfg.lidar_feature_channels
+
+
+def test_out_shape_rounds_inexact_extents():
+    """Non-binary extents divide inexactly in float (30.0/0.2 = 149.99...);
+    truncation would drop a BEV row."""
+    cfg = tiny_test_config(point_cloud_range=(-15.0, -15.0, -5, 15.0, 15.0, 3),
+                           voxel_size=(0.2, 0.2, 8))
+    assert cfg.out_shape == (150, 150)

@@ -8,42 +8,22 @@ global-view jit over the mesh — and these tests pin it numerically on the
 float reassociation (XLA inserts different reduction trees per sharding).
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from mm_training_tpu.configs import tiny_test_config
 from mm_training_tpu.data.fake_batch import make_fake_batch
-from mm_training_tpu.models import BEVDepthLiDAR
-from mm_training_tpu.parallel import MODEL_AXIS, make_mesh, replicated, shard_batch
-from mm_training_tpu.training.optim import make_optimizer
-from mm_training_tpu.training.train_step import (create_train_state,
-                                                 make_train_step)
+from mm_training_tpu.parallel.dryrun import run_one_train_step
 
 GLOBAL_BATCH = 8
 
 
 def _run_one_step(devices, model_parallel, batch_np, modalities):
-    mesh = make_mesh(devices, model_parallel=model_parallel)
-    dp = len(devices) // model_parallel
-    cfg = tiny_test_config(batch_size=GLOBAL_BATCH // dp,
-                           model_parallel=model_parallel, **modalities)
-    model = BEVDepthLiDAR(
-        cfg, spatial_axis=MODEL_AXIS if model_parallel > 1 else None)
-    tx = make_optimizer(cfg, steps_per_epoch=10)
-    batch = shard_batch(mesh, batch_np)
-    model_batch = dict(batch)
-    b, s, n = batch['imgs'].shape[:3]
-    model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
-    with mesh:
-        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
-                                   model_batch)
-        state = jax.device_put(state, replicated(mesh))
-        step = make_train_step(cfg, model, tx)
-        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
-        jax.block_until_ready(metrics)
-    return (jax.tree_util.tree_map(np.asarray, new_state.params),
-            {k: float(v) for k, v in metrics.items()})
+    # shared harness (also the driver's dryrun_multichip): includes the
+    # global_batch_scale=dp learning-rate equalization without which the
+    # compared runs would train at lrs differing by a factor of dp
+    return run_one_train_step(devices, model_parallel, GLOBAL_BATCH,
+                              modalities=modalities, batch_np=batch_np)
 
 
 @pytest.mark.parametrize('modalities', [
