@@ -296,6 +296,11 @@ class Config:
     early_stop_patience: int = 8
     save_top_k: int = 10
     latest_every_n_steps: int = 500
+    # orbax async checkpointing: save() returns after the device->host copy
+    # and the disk write proceeds in the background, hiding the serialization
+    # stall from the step loop (the device->host copy itself cannot be
+    # hidden). fit() and restore() barrier on in-flight writes.
+    async_checkpointing: bool = True
     seed: int = 0
     num_sanity_val_steps: int = 2
     use_ema: bool = False     # reference defines EMA but leaves it unregistered
@@ -305,6 +310,9 @@ class Config:
     # --- parallelism: devices = model_parallel x data_parallel mesh; the
     # model axis spatially shards the BEV x dimension (2048 cells)
     model_parallel: int = 1
+    # multi-slice DP: the data axis spans this many pod slices joined over
+    # DCN (slice-outermost layout; parallel/mesh.make_mesh). 1 = one slice.
+    num_slices: int = 1
 
     # K train steps per device dispatch (lax.scan over stacked micro-batches).
     # Amortizes the fixed per-dispatch host cost; metrics are fetched once per

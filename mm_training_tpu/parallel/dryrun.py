@@ -23,7 +23,7 @@ __all__ = ['run_one_train_step', 'max_param_diff']
 
 
 def run_one_train_step(devices, model_parallel: int, global_batch: int,
-                       modalities=None, batch_np=None):
+                       modalities=None, batch_np=None, num_slices: int = 1):
     """One full jitted train step (preprocess + forward + loss + grads +
     optimizer update) over a mesh of ``devices``.
 
@@ -40,7 +40,8 @@ def run_one_train_step(devices, model_parallel: int, global_batch: int,
 
     modalities = modalities or dict(use_cam=True, use_lidar=True,
                                     use_radar=True)
-    mesh = make_mesh(devices, model_parallel=model_parallel)
+    mesh = make_mesh(devices, model_parallel=model_parallel,
+                     num_slices=num_slices)
     dp = len(devices) // model_parallel
     cfg = tiny_test_config(batch_size=global_batch // dp,
                            model_parallel=model_parallel, **modalities)

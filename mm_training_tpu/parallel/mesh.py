@@ -25,16 +25,45 @@ DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
 
-def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
-    """(data, model) mesh over all (or given) devices.
+def make_mesh(devices=None, model_parallel: int = 1,
+              num_slices: int = 1) -> Mesh:
+    """(model, data) mesh over all (or given) devices.
 
     Data parallelism rides the fastest-varying axis so gradient all-reduces
-    stay on ICI neighbors; the model axis is outermost (DCN-friendly for
-    multi-slice later).
+    stay on ICI neighbors; the model axis is outermost.
+
+    ``num_slices > 1`` requests multi-slice data parallelism (several pod
+    slices joined over DCN): the data axis then spans all slices, laid out
+    slice-outermost so XLA's all-reduce decomposes into an intra-slice ICI
+    reduce-scatter + a small cross-slice DCN exchange (the jax multislice
+    recipe; scaling-book "pure data parallelism across slices"). On real
+    TPU the slice assignment comes from the devices' ``slice_index``; on
+    backends without slices (CPU tests) contiguous groups of n/num_slices
+    devices act as virtual slices — the global program and its numerics are
+    identical either way, only the physical collective routing differs.
+    The mesh axes stay (model, data), so every downstream sharding rule is
+    unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    assert n % (model_parallel * num_slices) == 0, (
+        n, model_parallel, num_slices)
+    if num_slices > 1:
+        slice_ids = {getattr(d, 'slice_index', None) for d in devices}
+        if None not in slice_ids and len(slice_ids) == num_slices:
+            # real multi-slice topology: group by the hardware slice, DCN
+            # (slice) dimension outermost within the data axis
+            order = sorted(devices, key=lambda d: (d.slice_index, d.id))
+        else:
+            order = devices  # virtual slices: contiguous groups
+        per = n // num_slices
+        groups = [order[i * per:(i + 1) * per] for i in range(num_slices)]
+        # each slice contributes its model_parallel x local-dp block; the
+        # data axis is the slice-major concatenation of the local-dp axes
+        arr = np.concatenate(
+            [np.asarray(g).reshape(model_parallel, per // model_parallel)
+             for g in groups], axis=1)
+        return Mesh(arr, (MODEL_AXIS, DATA_AXIS))
     arr = np.asarray(devices).reshape(model_parallel, n // model_parallel)
     return Mesh(arr, (MODEL_AXIS, DATA_AXIS))
 

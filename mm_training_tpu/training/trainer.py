@@ -87,7 +87,8 @@ class Trainer:
         self.cfg = cfg
         self.data_root = data_root or cfg.data_root
         self.mesh = (mesh if mesh is not None
-                     else make_mesh(model_parallel=cfg.model_parallel))
+                     else make_mesh(model_parallel=cfg.model_parallel,
+                                    num_slices=cfg.num_slices))
         from ..parallel import MODEL_AXIS
         self.model = BEVDepthLiDAR(
             cfg, spatial_axis=MODEL_AXIS if cfg.model_parallel > 1 else None)
@@ -245,10 +246,22 @@ class Trainer:
         mgr = self._manager(name, best=(name == 'best'))
         if mgr is None or self.state is None:
             return
+        # serialize with any in-flight async write to this manager (no-op
+        # when idle); orbax requires one save at a time per manager
+        mgr.wait_until_finished()
         mgr.save(int(self.state.step),
                  args=ocp.args.StandardSave(_state_to_pytree(self.state)),
                  metrics=metrics)
-        mgr.wait_until_finished()
+        if not self.cfg.async_checkpointing:
+            mgr.wait_until_finished()
+
+    def wait_for_checkpoints(self):
+        """Barrier on all in-flight async checkpoint writes (no-op when
+        sync or idle). Called on fit() exit and before restore() so a
+        background write can never be read half-finished or lost to
+        process exit."""
+        for mgr in self._ckpt_managers.values():
+            mgr.wait_until_finished()
 
     def restore(self, path: str):
         """Restore params/opt state from an orbax directory (a manager root
@@ -256,6 +269,7 @@ class Trainer:
         training from scratch is the exact failure checkpointing exists to
         prevent."""
         assert self.state is not None, 'call init_state first'
+        self.wait_for_checkpoints()  # never read our own write mid-flight
         path = os.path.abspath(path)
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -280,6 +294,15 @@ class Trainer:
         out_path is restored first — preemption recovery: the periodic
         latest-checkpoint (latest_every_n_steps) plus this makes a killed run
         continue where it stopped."""
+        try:
+            return self._fit(max_epochs, max_steps, resume)
+        finally:
+            # async checkpointing: the last 'latest'/'best' write may still
+            # be in flight — never exit fit (or unwind an exception) with a
+            # half-written checkpoint on disk
+            self.wait_for_checkpoints()
+
+    def _fit(self, max_epochs, max_steps, resume):
         cfg = self.cfg
         max_epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         train_loader = self.loader('train')

@@ -195,6 +195,33 @@ def test_restore_best_picks_best_metric_step(synth_root, tmp_path):
     assert int(tr.state.step) == 9
 
 
+def test_async_checkpoint_barrier_and_snapshot(synth_root, tmp_path):
+    """Async saves must (a) barrier before a restore reads them and (b)
+    snapshot the state at save() time — mutating tr.state right after an
+    async save must not corrupt the write (orbax copies device->host before
+    save returns; the disk write happens in the background)."""
+    import jax.numpy as jnp
+    cfg = _cfg(tmp_path)
+    assert cfg.async_checkpointing  # the default — this IS the prod path
+    tr = _trainer(cfg, synth_root)
+    tr.setup()
+    tr.init_state(next(iter(tr.loader('train'))))
+
+    tr.state = tr.state.replace(step=jnp.asarray(10, jnp.int32))
+    saved_leaf = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params)[0]).copy()
+    tr.save_checkpoint('latest')            # returns with write in flight
+    # clobber the live state while the write may still be in the background
+    tr.state = tr.state.replace(
+        step=jnp.asarray(99, jnp.int32),
+        params=jax.tree_util.tree_map(lambda x: x * 0 - 1.0, tr.state.params))
+    tr.restore(str(tr.out_path / 'saved_models' / 'latest'))  # barriers
+    assert int(tr.state.step) == 10
+    leaf = np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0])
+    np.testing.assert_array_equal(leaf, saved_leaf)
+    tr.wait_for_checkpoints()               # idempotent no-op when drained
+
+
 def test_resume_at_max_steps_is_a_noop(synth_root, tmp_path):
     """Resuming a run whose checkpoint already sits at max_steps must not
     crash (the K-group path would run zero micro-steps) and must not train
