@@ -63,6 +63,21 @@ def test_num_slices_must_divide():
         make_mesh(jax.devices()[:8], model_parallel=1, num_slices=3)
 
 
+def test_trainer_builds_sliced_mesh_from_config():
+    """Config.num_slices must reach make_mesh through the Trainer (the
+    production entry — exps/train builds Trainer(cfg) with no explicit
+    mesh)."""
+    from mm_training_tpu.training.trainer import Trainer
+
+    cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
+                           batch_size=1, num_slices=2)
+    tr = Trainer(cfg, data_root='/nonexistent-not-touched-before-setup')
+    assert tr.mesh.shape == {MODEL_AXIS: 1, DATA_AXIS: len(jax.devices())}
+    half = len(jax.devices()) // 2
+    row = list(np.asarray(tr.mesh.devices)[0])
+    assert row[:half] == jax.devices()[:half]  # slice-contiguous layout
+
+
 def test_two_virtual_slices_match_dp1():
     """Slice-major device layout changes XLA's collective routing, never the
     math: 2-slice x 4-dp training equals 1-device training on the same
