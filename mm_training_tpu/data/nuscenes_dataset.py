@@ -312,7 +312,7 @@ class NuscMVDetDataset:
 
         sweeps_imgs, sweeps_s2e, sweeps_intr, sweeps_extr = [], [], [], []
         depth_grids = []
-        for sinfo in sweep_infos:
+        for si, sinfo in enumerate(sweep_infos):
             imgs, s2e, intr, extr = [], [], [], []
             for cam in self.cams:
                 rec = sinfo['cam_infos'].get(cam) or info['cam_infos'].get(cam)
@@ -344,7 +344,10 @@ class NuscMVDetDataset:
                 s2e.append(sensor2ego.astype(np.float32))
                 extr.append(np.linalg.inv(sensor2ego).astype(np.float32))
                 intr.append(k4.astype(np.float32))
-                if cfg.depth_gt_root and sinfo is info:
+                # gate on the sweep INDEX, not identity: a scene-initial
+                # frame repeats `info` for its missing predecessor, and an
+                # identity gate would emit each camera's grid twice
+                if cfg.depth_gt_root and si == 0:
                     # precomputed (u, v, depth) bins, mapped through THIS
                     # sample's ida and rasterized — the reference's
                     # depth_transform path (nusc_mv_det_dataset.py:387-396)

@@ -16,6 +16,7 @@ Conventions (matching the reference):
 from __future__ import annotations
 
 import json
+import threading
 from collections import OrderedDict
 from typing import Optional, Tuple
 
@@ -41,6 +42,10 @@ class CameraModel:
     # the life of the loader process.
     _remap_cache: 'OrderedDict[Tuple[str, str], Tuple[np.ndarray, np.ndarray]]' = OrderedDict()
     _REMAP_CACHE_MAX = 64  # ~0.5 GB worst case; > cameras x in-flight seqs
+    # the loader calls remap_from from a ThreadPoolExecutor: every cache
+    # read-touch/insert/evict must hold this lock (move_to_end racing a
+    # popitem of the same key raises KeyError otherwise)
+    _remap_lock = threading.Lock()
 
     def __init__(self, image_size, rotation: Optional[np.ndarray] = None,
                  translation=None):
@@ -97,10 +102,13 @@ class CameraModel:
         """
         key = (self._fingerprint(), source_cam._fingerprint())
         cache = CameraModel._remap_cache
-        cached = cache.get(key) if use_cache else None
-        if cached is not None:
-            cache.move_to_end(key)  # LRU touch
-        else:
+        cached = None
+        if use_cache:
+            with CameraModel._remap_lock:
+                cached = cache.get(key)
+                if cached is not None:
+                    cache.move_to_end(key)  # LRU touch
+        if cached is None:
             rays = self.grid_rays().astype(np.float64)
             if not np.allclose(self.cam_to_body[:3, :3], source_cam.cam_to_body[:3, :3]):
                 assert np.allclose(self.cam_to_body[:3, 3], source_cam.cam_to_body[:3, 3]), \
@@ -111,9 +119,10 @@ class CameraModel:
             mapping = px.astype(np.float32)
             cached = (mapping, invalid)
             if use_cache:
-                cache[key] = cached
-                while len(cache) > CameraModel._REMAP_CACHE_MAX:
-                    cache.popitem(last=False)
+                with CameraModel._remap_lock:
+                    cache[key] = cached
+                    while len(cache) > CameraModel._REMAP_CACHE_MAX:
+                        cache.popitem(last=False)
         mapping, invalid = cached
         if cv2 is not None:
             out = cv2.remap(image, mapping[..., 0], mapping[..., 1], cv2.INTER_LINEAR)

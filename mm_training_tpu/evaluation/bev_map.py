@@ -284,7 +284,11 @@ def evaluate_ap(gts: List[Dict], preds: List[Dict], eval_class=None,
             ignore_gt = np.isin(U.to_numpy(gt['class']), unlabeled_classes)
             ignore_pred = np.isin(U.to_numpy(pred['class']), unlabeled_classes)
             # predictions matched to an ignored GT are ignored too
-            ignore_pred |= correct & ignore_gt[np.maximum(pa, 0)]
+            # (index only the matched subset: with zero GT boxes pa is all
+            # -1 and ignore_gt is empty, so a blanket gather would IndexError)
+            matched_ignored = np.zeros(len(pa), bool)
+            matched_ignored[correct] = ignore_gt[pa[correct]]
+            ignore_pred |= matched_ignored
             for k in list(gt):
                 gt[k] = U.masked_select(gt[k], ~ignore_gt)
             for k in list(pred):

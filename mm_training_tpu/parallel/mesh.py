@@ -55,6 +55,16 @@ def make_mesh(devices=None, model_parallel: int = 1,
             # (slice) dimension outermost within the data axis
             order = sorted(devices, key=lambda d: (d.slice_index, d.id))
         else:
+            if None not in slice_ids:
+                # hardware DOES report slices but not the requested count:
+                # contiguous grouping may straddle DCN and silently demote
+                # intra-slice ICI reduce-scatters to cross-slice traffic
+                import warnings
+                warnings.warn(
+                    f'num_slices={num_slices} but devices report '
+                    f'{len(slice_ids)} hardware slices; falling back to '
+                    'contiguous virtual slices whose collectives may cross '
+                    'DCN — set num_slices to the hardware slice count')
             order = devices  # virtual slices: contiguous groups
         per = n // num_slices
         groups = [order[i * per:(i + 1) * per] for i in range(num_slices)]

@@ -348,3 +348,24 @@ def test_nuscenes_depth_gt_pipeline(tmp_path):
     _, metrics_no = step(state, batch_no, jax.random.PRNGKey(1))
     assert (abs(float(metrics['train_depth_loss'])
                 - float(metrics_no['train_depth_loss'])) > 1e-4)
+
+
+def test_nuscenes_depth_gt_scene_initial_sweep(tmp_path):
+    """Regression: a scene-initial sample (whose missing predecessor repeats
+    the key frame as its own sweep) must emit exactly ONE depth grid per
+    camera — the old identity gate (`sinfo is info`) collected the key
+    frame's grids once per repeated sweep, doubling depth_gt's leading dim
+    and breaking collate against non-initial samples."""
+    from mm_training_tpu.scripts.gen_depth_gt import main as gen_main
+    root = str(tmp_path)
+    info_path = _make_fixture(root)
+    gen_main(['--dataset', 'nuscenes', '--data-root', root, '--out', root,
+              '--split', 'train', '--workers', '1'])
+    cfg = tiny_test_config(use_cam=True, use_lidar=False, use_radar=False,
+                           H=64, W=128, num_cameras=2, num_sweeps=2,
+                           depth_gt_root=root)
+    ds = NuscMVDetDataset(info_path, cfg, data_root=root, is_train=False,
+                          cams=('CAM_FRONT', 'CAM_BACK'))
+    s0 = ds[0]   # scene-initial: sweep partner IS the key frame
+    s1 = ds[1]   # regular: sweep partner is sample 0
+    assert s0['depth_gt'].shape == s1['depth_gt'].shape == (2, 4, 8)

@@ -79,3 +79,30 @@ def test_pinhole_to_rotated_pinhole_shifts_content():
     out = dst.remap_from(src, img)
     assert out.shape == img.shape
     assert not np.array_equal(out, img)
+
+
+def test_remap_cache_thread_safe_under_eviction():
+    """Regression: the bounded LRU remap cache is hit from the loader's
+    thread pool; with more live (target, source) pairs than the cache cap,
+    a hit's move_to_end used to race another thread's eviction popitem of
+    the same key (KeyError). Hammer it well past the cap from 8 threads."""
+    from concurrent.futures import ThreadPoolExecutor
+    from mm_training_tpu.data.sensor_models.cameras import CameraModel
+
+    size = (12, 16)
+    img = np.zeros(size + (3,), np.uint8)
+    # > _REMAP_CACHE_MAX distinct fingerprints so evictions are constant
+    n_cams = CameraModel._REMAP_CACHE_MAX + 16
+    cams = [CameraPinhole(K * (1 + 0.01 * i), size) for i in range(n_cams)]
+    CameraModel._remap_cache.clear()
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(60):
+            cam = cams[int(rng.integers(n_cams))]
+            cam.remap_from(cam, img)
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        assert all(pool.map(worker, range(16)))
+    assert len(CameraModel._remap_cache) <= CameraModel._REMAP_CACHE_MAX

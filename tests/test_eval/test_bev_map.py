@@ -190,3 +190,28 @@ def test_update_reconciles_img_names_with_frame_count():
                 img_names=['c'])
     assert calc.img_names == ['a', 'c']
     assert len(calc.img_names) == len(calc.gts)
+
+
+def test_ignore_classes_empty_gt_frame():
+    """Regression: with ignore_classes set, a frame with ZERO GT boxes but
+    at least one prediction must not crash (the matched-to-ignored-GT gather
+    used to index an empty ignore_gt array) — every prediction is simply a
+    false positive unless its own class is ignored."""
+    calc = MAPCalculator()
+    calc.ignore_classes = [7]
+    empty = np.zeros((0, 7), np.float32)
+    no_labels = np.zeros((0,), np.int64)
+    pred = np.asarray([_box(10, 2), _box(50, 5)], np.float32)
+    ps = np.asarray([0.9, 0.8], np.float32)
+    pl = np.asarray([0, 7])
+    # frame 1: empty GT, two preds (one of an ignored class)
+    # frame 2: one real GT matched by a pred, to give AP a positive anchor
+    gt = np.asarray([_box(20, -3)], np.float32)
+    gl = np.asarray([0])
+    calc.update([[empty, no_labels], [gt, gl]],
+                [[pred, ps, pl], [gt[:, :], np.asarray([0.95], np.float32),
+                                  np.asarray([0])]])
+    m = calc.compute_bev()
+    # the class-7 FP is ignored; the class-0 FP on the empty frame counts
+    assert m['recall_2d'] == pytest.approx(1.0)
+    assert m['precision_2d'] == pytest.approx(0.5)
