@@ -185,7 +185,7 @@ def get_targets(conf: HeadConf, gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
         # order-preserving slot assignment within the task (the reference
         # enumerates each task's own box list; bev_depth_head.py:184-186)
         slot = jnp.cumsum(member.astype(jnp.int32)) - 1
-        slot = jnp.where(member & draw_ok & (slot < max_objs), slot, max_objs)
+        slot = jnp.where(draw_ok & (slot < max_objs), slot, max_objs)
 
         anno = jnp.zeros((max_objs + 1, 10), jnp.float32).at[slot].set(anno_all)
         ind = jnp.zeros((max_objs + 1,), jnp.int32).at[slot].set(ind_all)

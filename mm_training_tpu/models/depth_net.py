@@ -88,7 +88,13 @@ class DeformConv2d(nn.Module):
         g = self.groups
         cg = c // g
         og = self.features // g
-        wgt = self.param('kernel', nn.initializers.he_normal(),
+        # he init with the TRUE per-group fan-in 9*cg: variance_scaling
+        # counts every leading dim of (nt, g, cg, og) as receptive field,
+        # overcounting fan-in by g — scale by g to compensate (same class
+        # of compensation as the s2d stem's 64/49 factor in resnet.py)
+        wgt = self.param('kernel',
+                         nn.initializers.variance_scaling(
+                             2.0 * g, 'fan_in', 'truncated_normal'),
                          (nt, g, cg, og), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.features,),
                           jnp.float32)

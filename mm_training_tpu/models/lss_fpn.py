@@ -85,11 +85,15 @@ class LSSFPN(nn.Module):
         feat = self.depth_net(feats, train)          # [BN, fH, fW, D + C]
         depth = jax.nn.softmax(feat[..., :d_ch], axis=-1)
 
-        # undo per-image hflip on the lifted features (lss_fpn.py:425)
-        feat_flipped = jnp.flip(feat, axis=-2)
-        feat = jnp.where(flipped[:, None, None, None], feat_flipped, feat)
-        depth_unflipped = jax.nn.softmax(feat[..., :d_ch], axis=-1)
-        context = feat[..., d_ch:d_ch + c_out]
+        # undo per-image hflip on the lifted features (lss_fpn.py:425).
+        # softmax over the bin axis commutes with the spatial flip, so the
+        # already-softmaxed depth is flipped directly (one softmax over
+        # D~400 bins on the per-sweep hot path, not two); the flip-select
+        # touches only the context slice, not all D+C channels
+        flip_sel = flipped[:, None, None, None]
+        depth_unflipped = jnp.where(flip_sel, jnp.flip(depth, axis=-2), depth)
+        ctx = feat[..., d_ch:d_ch + c_out]
+        context = jnp.where(flip_sel, jnp.flip(ctx, axis=-2), ctx)
 
         if depth_oracle is not None:
             # quirk parity: fg mask = max(oracle) > 0 is all-true for the

@@ -39,7 +39,12 @@ def _bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.
     v11 = tap(x0i + 1, y0i + 1)
     top = v00 * (1 - wx)[..., None] + v01 * wx[..., None]
     bot = v10 * (1 - wx)[..., None] + v11 * wx[..., None]
-    return top * (1 - wy)[..., None] + bot * wy[..., None]
+    out = top * (1 - wy)[..., None] + bot * wy[..., None]
+    # the fp32 coordinate weights promote a bf16 image; cast back so the
+    # warp preserves the caller's compute dtype (promotion chaining would
+    # otherwise drag the fuse layer + BEV head to fp32 — the measured
+    # pitfall class documented at models/resnet.py mask cast)
+    return out.astype(img.dtype)
 
 
 def warp_affine_nhwc(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:

@@ -1,4 +1,4 @@
-from .ema import ema_init, ema_update
+from .ema import ema_update
 from .loader import PrefetchLoader
 from .optim import make_optimizer, multistep_schedule
 from .train_step import (TrainState, create_train_state, make_eval_step,
@@ -9,7 +9,7 @@ from .tta import tta_forward
 
 __all__ = [
     'PrefetchLoader', 'TrainState', 'Trainer', 'boxes_to_aimotive_dict',
-    'create_train_state', 'depth_loss_fn', 'ema_init', 'ema_update',
+    'create_train_state', 'depth_loss_fn', 'ema_update',
     'make_eval_step', 'make_optimizer', 'make_predict_step', 'make_train_step',
     'multistep_schedule', 'normalize_images', 'tta_forward',
 ]

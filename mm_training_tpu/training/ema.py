@@ -11,11 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ['ema_init', 'ema_update']
-
-
-def ema_init(tree):
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+__all__ = ['ema_update']
 
 
 def ema_update(ema_tree, new_tree, updates: jnp.ndarray, decay: float = 0.9999):

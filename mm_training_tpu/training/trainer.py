@@ -145,14 +145,15 @@ class Trainer:
                 steps_per_epoch = max(1, len(self.loader('train')))
             except Exception:
                 steps_per_epoch = 1000
-        self.tx = make_optimizer(cfg, steps_per_epoch)
-        self._train_step = make_train_step(cfg, self.model, self.tx)
-        self._train_step_multi = (
-            make_train_step_multi(cfg, self.model, self.tx,
-                                  cfg.steps_per_dispatch)
-            if cfg.steps_per_dispatch > 1 else None)
-        self._eval_step = make_eval_step(cfg, self.model)
-        self._predict_step = make_predict_step(cfg, self.model)
+        # linear LR scaling over the GLOBAL batch (conf_aim.py:14's
+        # lr = base/64*batch with per-GPU batch_size x world_size semantics):
+        # cfg.learning_rate covers the per-device factor, the mesh's data
+        # extent supplies the rest — same rule the dryrun harness uses
+        # (parallel/dryrun.py), so the validated multichip program and the
+        # production Trainer train with the SAME optimizer
+        self.tx = make_optimizer(cfg, steps_per_epoch,
+                                 global_batch_scale=self.data_parallel_size)
+        self._build_steps()
         self.steps_per_epoch = steps_per_epoch
 
         self.out_path.mkdir(parents=True, exist_ok=True)
@@ -218,13 +219,19 @@ class Trainer:
         self.model = BEVDepthLiDAR(
             cfg, spatial_axis=MODEL_AXIS if cfg.model_parallel > 1 else None)
         if hasattr(self, 'tx'):
-            self._train_step = make_train_step(cfg, self.model, self.tx)
-            self._train_step_multi = (
-                make_train_step_multi(cfg, self.model, self.tx,
-                                      cfg.steps_per_dispatch)
-                if cfg.steps_per_dispatch > 1 else None)
-            self._eval_step = make_eval_step(cfg, self.model)
-            self._predict_step = make_predict_step(cfg, self.model)
+            self._build_steps()
+
+    def _build_steps(self):
+        """(Re)build the jitted step programs from the current cfg/model/tx —
+        the single site shared by setup() and the factorized-splat fallback."""
+        cfg = self.cfg
+        self._train_step = make_train_step(cfg, self.model, self.tx)
+        self._train_step_multi = (
+            make_train_step_multi(cfg, self.model, self.tx,
+                                  cfg.steps_per_dispatch)
+            if cfg.steps_per_dispatch > 1 else None)
+        self._eval_step = make_eval_step(cfg, self.model)
+        self._predict_step = make_predict_step(cfg, self.model)
 
     # ----------------------------------------------------------- checkpoint
     def _manager(self, name: str, best: bool):
@@ -308,7 +315,16 @@ class Trainer:
         train_loader = self.loader('train')
         if self.state is None:
             self.setup() if not hasattr(self, '_train_step') else None
-            first = next(iter(train_loader))
+            try:
+                first = next(iter(train_loader))
+            except StopIteration:
+                raise ValueError(
+                    f'train split has {len(self.dataset("train"))} frames — '
+                    f'fewer than one global batch '
+                    f'({self.cfg.batch_size} per device x '
+                    f'{self.data_parallel_size} data-parallel = '
+                    f'{self.cfg.batch_size * self.data_parallel_size}); '
+                    'drop_last leaves the loader empty') from None
             self.init_state(first)
             latest = self.out_path / 'saved_models' / 'latest'
             if resume and not cfg.ckpt_path and latest.is_dir():
@@ -470,6 +486,8 @@ class Trainer:
         """Capture a device trace of n train steps under out_path/profile
         (view in Perfetto / TensorBoard). Tracing subsystem — SURVEY §5."""
         loader = self.loader('train')
+        if not hasattr(self, '_train_step'):
+            self.setup()  # same guard as fit(): a fresh Trainer can profile
         if self.state is None:
             self.init_state(next(iter(loader)))
         rng = jax.random.PRNGKey(self.cfg.seed + 2)

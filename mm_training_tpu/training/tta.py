@@ -4,10 +4,17 @@ Re-design of the reference's ``test_time_augment`` (exps/mm_training_aim.py:
 424-489): forward the model on the 4 (x_flip, y_flip) sign combinations of
 the point cloud, un-flip each prediction map back to the canonical frame,
 and average — heatmaps in sigmoid space, dims in exp space, velocities
-sign-corrected, rotations angle-corrected (x flip: rot - pi; y flip: -rot),
+sign-corrected, rotations angle-corrected (x flip: pi - rot; y flip: -rot),
 then invert back to logit/log so the standard decode applies.
 
 Fixes vs the reference (documented deviations):
+  * the reference's x-flip yaw correction is ``rot - pi`` (:475) — a pure
+    ROTATION, but negating x is a REFLECTION, which maps yaw to pi - yaw.
+    With ``rot - pi`` the four corrected members carry sin components
+    +s, -s, +s, -s for an equivariant model, so averaging cancels the sine
+    of every yaw (ensembled boxes collapse to 0 or pi orientation). Here
+    the reflection formula ``pi - rot`` is used; the equivariant-model
+    fixed-point test pins it.
   * the reference hardcodes a stale 256x256 map reshape (:467) — here the
     un-flip is a shape-agnostic jnp.flip (exact for the symmetric BEV grid,
     where warp-by-diag(+-1) IS an axis flip).
@@ -61,7 +68,7 @@ def _correct_pred(pred: Dict[str, jnp.ndarray], x_flip: float, y_flip: float):
         elif key == 'rot':
             rot = jnp.arctan2(v[..., 0], v[..., 1])
             if x_flip < 0:
-                rot = rot - jnp.pi
+                rot = jnp.pi - rot   # reflection, NOT rotation (see module doc)
             if y_flip < 0:
                 rot = -rot
             v = jnp.stack([jnp.sin(rot), jnp.cos(rot)], axis=-1)

@@ -79,3 +79,13 @@ def test_resize_doubles():
     out = resize_bilinear(img, (8, 16))
     assert out.shape == (1, 8, 16, 3)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_bda_bev_warp_preserves_bf16():
+    """Regression: fp32 bilinear coordinate weights must not promote a bf16
+    BEV map — promotion chained through concat/fuse/head drags the whole
+    downstream network to fp32 (the measured resnet mask-cast pitfall
+    class)."""
+    x = jnp.ones((1, 8, 8, 4), jnp.bfloat16)
+    m = jnp.eye(4)[None]
+    assert bda_bev_warp(x, m).dtype == jnp.bfloat16

@@ -42,3 +42,47 @@ def test_tta_shapes_and_decode():
     assert boxes.shape == (cfg.batch_size, cap, 9)
     s = np.asarray(scores)
     assert np.all((s >= 0) & (s <= 1))
+
+
+def test_tta_yaw_correction_is_a_reflection():
+    """Regression (reference deviation): negating the x axis is a
+    REFLECTION, so the x-flip yaw correction must be pi - rot; the
+    reference's rot - pi (mm_training_aim.py:475) cancels the sine of every
+    yaw across the 4-way average. For an exactly flip-equivariant synthetic
+    prediction, the corrected map of every flip member must equal the
+    canonical map, so the ensembled yaw stays the true yaw."""
+    from mm_training_tpu.training.tta import _correct_pred
+
+    rng = np.random.default_rng(0)
+    H, W = 6, 8
+    theta = rng.uniform(-np.pi, np.pi, (1, H, W)).astype(np.float32)
+    vel = rng.normal(size=(1, H, W, 2)).astype(np.float32)
+
+    def canonical():
+        return {'rot': np.stack([np.sin(theta), np.cos(theta)], -1),
+                'vel': vel}
+
+    for fx in (1.0, -1.0):
+        for fy in (1.0, -1.0):
+            # what an exactly equivariant model would predict on the
+            # flipped cloud: spatially flipped maps (W is x, H is y) with
+            # yaw reflected per-axis and velocity sign-flipped
+            th = theta.copy()
+            vl = vel.copy()
+            if fx < 0:
+                th = np.pi - th
+                vl = vl * np.asarray([-1.0, 1.0], np.float32)
+                th, vl = th[:, :, ::-1], vl[:, :, ::-1]
+            if fy < 0:
+                th = -th
+                vl = vl * np.asarray([1.0, -1.0], np.float32)
+                th, vl = th[:, ::-1], vl[:, ::-1]
+            pred = {'rot': jnp.asarray(
+                        np.stack([np.sin(th), np.cos(th)], -1)),
+                    'vel': jnp.asarray(np.ascontiguousarray(vl))}
+            out = _correct_pred(pred, fx, fy)
+            ref = canonical()
+            np.testing.assert_allclose(np.asarray(out['rot']), ref['rot'],
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out['vel']), ref['vel'],
+                                       atol=1e-6)
