@@ -51,6 +51,7 @@ class DepthNetConf:
     in_channels: int = 512
     mid_channels: int = 512
     use_dcn: bool = True  # deformable conv in the depth branch (lss_fpn.py:189-197)
+    num_blocks: int = 3  # BasicBlocks in the depth branch (lss_fpn.py:181-188)
     aspp_mid_channels: int = -1  # -1 => mid_channels
 
 

@@ -1,7 +1,7 @@
 from .bev_depth import BEVDepthLiDAR
 from .centerpoint_head import (BEVDepthHead, clip_sigmoid, decode_boxes,
                                detection_loss, get_targets, get_targets_batch)
-from .depth_net import ASPP, DeformConv2d, DepthNet, Mlp, SELayer
+from .depth_net import ASPP, DeformConv2d, DepthNet
 from .fusion import BEVFuseLayer
 from .lidar_encoder import LidarBEVEncoder
 from .lss_fpn import LSSFPN
@@ -12,7 +12,7 @@ from .sparse_encoder import ImportSparseEncoder
 __all__ = [
     'ASPP', 'BEVDepthHead', 'BEVDepthLiDAR', 'BEVFuseLayer', 'BasicBlock',
     'Bottleneck', 'ConvBN', 'DeformConv2d', 'DepthNet', 'ImportSparseEncoder',
-    'LSSFPN', 'LidarBEVEncoder', 'Mlp', 'ResNet', 'SECONDFPN', 'SELayer',
+    'LSSFPN', 'LidarBEVEncoder', 'ResNet', 'SECONDFPN',
     'clip_sigmoid', 'decode_boxes', 'detection_loss', 'get_targets',
     'get_targets_batch',
 ]

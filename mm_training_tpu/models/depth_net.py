@@ -1,4 +1,8 @@
-"""DepthNet + ASPP + SELayer/Mlp + deformable conv (flax, NHWC).
+"""DepthNet + ASPP + deformable conv (flax, NHWC).
+
+(The reference also defines SELayer/Mlp, lss_fpn.py:120-157, but never calls
+them — torch_import skips their dormant context_se weights; they are not
+reproduced here.)
 
 Re-design of the reference's depth/context head (layers/backbones/lss_fpn.py:
 16-248): reduce conv -> context 1x1 (80ch) in parallel with a depth branch of
@@ -20,7 +24,7 @@ import jax.numpy as jnp
 
 from .resnet import BasicBlock, ConvBN
 
-__all__ = ['DepthNet', 'ASPP', 'SELayer', 'Mlp', 'DeformConv2d']
+__all__ = ['DepthNet', 'ASPP', 'DeformConv2d']
 
 
 class DeformConv2d(nn.Module):
@@ -130,36 +134,6 @@ class ASPP(nn.Module):
         return out
 
 
-class SELayer(nn.Module):
-    """Squeeze-excite gate (lss_fpn.py:145-157). Defined for structural parity;
-    the reference instantiates it as context_se but does not call it."""
-    channels: int
-
-    @nn.compact
-    def __call__(self, x, x_se):
-        x_se = nn.Conv(self.channels, (1, 1))(x_se)
-        x_se = nn.relu(x_se)
-        x_se = nn.Conv(self.channels, (1, 1))(x_se)
-        return x * nn.sigmoid(x_se)
-
-
-class Mlp(nn.Module):
-    """2-layer MLP (lss_fpn.py:120-142); structural parity (unused in the
-    reference forward)."""
-    hidden_features: int
-    out_features: int
-    drop: float = 0.0
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.hidden_features)(x)
-        x = nn.relu(x)
-        x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.Dense(self.out_features)(x)
-        x = nn.Dropout(self.drop, deterministic=not train)(x)
-        return x
-
-
 class DepthNet(nn.Module):
     """Depth/context head (lss_fpn.py:160-248).
 
@@ -170,6 +144,7 @@ class DepthNet(nn.Module):
     context_channels: int
     depth_channels: int
     use_dcn: bool = True
+    num_blocks: int = 3  # the reference's 3 BasicBlocks (lss_fpn.py:181-188)
     bn_axis_name: Optional[str] = None
 
     @nn.compact
@@ -179,7 +154,7 @@ class DepthNet(nn.Module):
         context = nn.Conv(self.context_channels, (1, 1), name='context_conv')(x)
 
         d = x
-        for i in range(3):
+        for i in range(self.num_blocks):
             d = BasicBlock(self.mid_channels, bn_axis_name=self.bn_axis_name,
                            name=f'depth_block{i}')(d, train)
         d = ASPP(self.mid_channels, bn_axis_name=self.bn_axis_name,

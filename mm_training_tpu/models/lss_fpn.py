@@ -49,6 +49,7 @@ class LSSFPN(nn.Module):
             context_channels=self.conf.output_channels,
             depth_channels=self.conf.depth_channels,
             use_dcn=dn.use_dcn,
+            num_blocks=dn.num_blocks,
             bn_axis_name=self.bn_axis_name)
 
     @property

@@ -91,6 +91,7 @@ class Bottleneck(nn.Module):
 
 
 _DEPTH_CFG = {
+    10: (BasicBlock, (1, 1, 1, 1)),  # smoke/dryrun tier: one block per stage
     18: (BasicBlock, (2, 2, 2, 2)),
     34: (BasicBlock, (3, 4, 6, 3)),
     50: (Bottleneck, (3, 4, 6, 3)),

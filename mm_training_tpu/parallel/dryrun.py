@@ -12,6 +12,11 @@ with the per-device batch (base/64 * batch_size), so the optimizer is built
 with ``global_batch_scale=dp`` — without it the compared runs train with
 learning rates differing by a factor of dp and Adam's first step alone
 differs by (dp-1)*lr per parameter.
+
+Phases share one deterministic init, SYNTHESIZED from eval_shape (no model
+execution: jit or eager ``model.init`` costs ~75 s on a 1-core driver host)
+— computed once per (factory, modalities) and re-used, which is also the
+strongest possible same-initial-weights guarantee for the equality check.
 """
 from __future__ import annotations
 
@@ -19,32 +24,160 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['run_one_train_step', 'max_param_diff']
+__all__ = ['run_one_train_step', 'max_param_diff', 'dryrun_config']
+
+
+def dryrun_config(batch_size: int = 1, model_parallel: int = 1,
+                  use_cam: bool = True, use_lidar: bool = True,
+                  use_radar: bool = True, **kw):
+    """A further-shrunk geometry for the driver's multichip dryrun: the
+    equality contract is shape-independent (VERDICT r3 #1), and the driver
+    host may have a single CPU core — every op count and shape here is the
+    minimum that still exercises the full production train-step structure
+    (camera lift-splat + DCN + lidar pillar encoder + fusion + CenterPoint
+    head + optimizer) over the mesh.
+
+    LAYER COUNT matters as much as shapes on the virtual-CPU mesh: every
+    sync-BN pmean and per-parameter gradient all-reduce is a thread
+    rendezvous across the n device threads (measured 897 all-reduces /
+    ~0.13 s each on a 1-core host for the previous geometry — exec time,
+    not compile, dominated the round-3 MULTICHIP timeout). Hence ResNet-10,
+    one DepthNet block, one conv per lidar stage, 2 tasks, 1-layer heads:
+    the same structure at the minimum collective count."""
+    import dataclasses
+
+    from ..configs import (BackboneConf, BEVNeckConf, Config, DepthNetConf,
+                           ImageBackboneConf, ImageNeckConf,
+                           LidarEncoderConf, TaskConf, VoxelizationConf)
+    # both grid extents must be multiples of 128 cells (0.2 m voxels): the
+    # head trunk runs a /4 stem + two stride-2 stages below the /8 input —
+    # 128 x 128 is the minimum legal grid (tiny_test_config uses 256 x 128)
+    pc = (-12.8, -12.8, -5.0, 12.8, 12.8, 3.0)
+    base = dict(
+        experiment_name='dryrun', batch_size=batch_size,
+        model_parallel=model_parallel,
+        H=32, W=64, precision='fp32',
+        point_cloud_range=pc,
+        use_cam=use_cam, use_lidar=use_lidar, use_radar=use_radar,
+        use_depth_loss=use_cam,
+        max_points_per_frame=512,
+        max_objs=8,
+        num_cameras=1,
+        backbone_conf=BackboneConf(
+            x_bound=(pc[0], pc[3], 0.8), y_bound=(pc[1], pc[4], 0.8),
+            z_bound=(pc[2], pc[5], 8.0), d_bound=(2.0, 14.8, 0.8),
+            final_dim=(32, 64), output_channels=16, downsample_factor=16,
+            img_backbone_conf=ImageBackboneConf(depth=10),
+            img_neck_conf=ImageNeckConf(in_channels=(64, 128, 256, 512),
+                                        out_channels=(16, 16, 16, 16)),
+            depth_net_conf=DepthNetConf(in_channels=64, mid_channels=16,
+                                        num_blocks=1),
+        ),
+        lidar_conf=LidarEncoderConf(
+            encoder_channels=((8,), (16,), (32,)), out_channels=32,
+            voxelization=VoxelizationConf(max_num_points=4, max_voxels=256)),
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    # slim CenterPoint head, derived from the full config's coder/targets:
+    # 2 tasks (multi-task structure preserved), base-16 trunk, 1-conv heads
+    head = cfg.get_head_conf()
+    head = dataclasses.replace(
+        head,
+        tasks=(TaskConf(1, ('car',)), TaskConf(1, ('pedestrian',))),
+        bev_backbone_conf=dataclasses.replace(
+            head.bev_backbone_conf, base_channels=16),
+        bev_neck_conf=BEVNeckConf(
+            in_channels=(16, 32, 64),
+            upsample_strides=head.bev_neck_conf.upsample_strides,
+            out_channels=(16, 16, 16)),
+        common_heads=(('reg', (2, 1)), ('height', (1, 1)), ('dim', (3, 1)),
+                      ('rot', (2, 1)), ('vel', (2, 1))),
+        in_channels=48)
+    return cfg.replace(head_conf=head)
+
+
+# (factory id, modalities) -> (params, batch_stats) as host numpy trees
+_INIT_CACHE: dict = {}
+
+
+def _synthesize_variables(model, batch):
+    """Deterministic initial variables from ``jax.eval_shape`` — NO model
+    execution. Running ``model.init`` (jitted or eager) costs ~75 s on a
+    1-core driver host; the equality contract only needs every mesh to
+    start from the SAME values, not from flax's initializers. Leaves are
+    filled host-side by name: BN scale/var -> 1, bias/mean -> 0, kernels ->
+    LeCun-scaled normals seeded per leaf path (so the fill is stable across
+    processes, meshes, and tree orderings)."""
+    import zlib
+
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, batch, None, False), jax.random.PRNGKey(0))
+
+    def fill(path, leaf):
+        keys = [getattr(p, 'key', getattr(p, 'idx', p)) for p in path]
+        name = str(keys[-1])
+        if name in ('scale', 'var'):
+            return np.ones(leaf.shape, leaf.dtype)
+        if name in ('bias', 'mean'):
+            return np.zeros(leaf.shape, leaf.dtype)
+        seed = zlib.crc32('/'.join(str(k) for k in keys).encode())
+        rng = np.random.default_rng(seed)
+        fan_in = max(1, int(np.prod(leaf.shape[:-1])))
+        return (rng.standard_normal(leaf.shape) * fan_in ** -0.5).astype(
+            leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
+def _initial_variables(factory, modalities):
+    from ..data.fake_batch import make_fake_batch
+    from ..models import BEVDepthLiDAR
+
+    key = (getattr(factory, '__module__', ''),
+           getattr(factory, '__qualname__', repr(factory)),
+           tuple(sorted(modalities.items())))
+    if key not in _INIT_CACHE:
+        cfg = factory(batch_size=1, model_parallel=1, **modalities)
+        model = BEVDepthLiDAR(cfg)
+        batch = {k: jnp.asarray(v) for k, v in
+                 make_fake_batch(cfg, batch_size=1, seed=0).items()}
+        b, s, n = batch['imgs'].shape[:3]
+        batch['flipped'] = jnp.zeros((b * s * n,), bool)
+        variables = _synthesize_variables(model, batch)
+        _INIT_CACHE[key] = (variables['params'],
+                            variables.get('batch_stats', {}))
+    return _INIT_CACHE[key]
 
 
 def run_one_train_step(devices, model_parallel: int, global_batch: int,
-                       modalities=None, batch_np=None, num_slices: int = 1):
+                       modalities=None, batch_np=None, num_slices: int = 1,
+                       cfg_factory=None):
     """One full jitted train step (preprocess + forward + loss + grads +
     optimizer update) over a mesh of ``devices``.
 
     Returns (params_numpy, metrics_float_dict). Deterministic in
     (global_batch, modalities, seed): two calls with different meshes see
     the same global batch, init, and effective learning rate.
+
+    ``cfg_factory(batch_size=, model_parallel=, **modalities)`` defaults to
+    configs.tiny_test_config; the driver dryrun passes ``dryrun_config``.
     """
     from ..configs import tiny_test_config
     from ..data.fake_batch import make_fake_batch
     from ..models import BEVDepthLiDAR
     from ..training.optim import make_optimizer
-    from ..training.train_step import create_train_state, make_train_step
+    from ..training.train_step import TrainState, make_train_step
     from .mesh import MODEL_AXIS, make_mesh, replicated, shard_batch
 
     modalities = modalities or dict(use_cam=True, use_lidar=True,
                                     use_radar=True)
+    factory = cfg_factory or tiny_test_config
     mesh = make_mesh(devices, model_parallel=model_parallel,
                      num_slices=num_slices)
     dp = len(devices) // model_parallel
-    cfg = tiny_test_config(batch_size=global_batch // dp,
-                           model_parallel=model_parallel, **modalities)
+    cfg = factory(batch_size=global_batch // dp,
+                  model_parallel=model_parallel, **modalities)
     model = BEVDepthLiDAR(
         cfg, spatial_axis=MODEL_AXIS if model_parallel > 1 else None)
     tx = make_optimizer(cfg, steps_per_epoch=10, global_batch_scale=dp)
@@ -52,13 +185,15 @@ def run_one_train_step(devices, model_parallel: int, global_batch: int,
     if batch_np is None:
         batch_np = make_fake_batch(cfg, batch_size=global_batch, seed=0)
     batch = shard_batch(mesh, batch_np)
-    model_batch = dict(batch)
-    b, s, n = batch['imgs'].shape[:3]
-    model_batch['flipped'] = jnp.zeros((b * s * n,), bool)
+
+    params, batch_stats = _initial_variables(factory, modalities)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=batch_stats, opt_state=tx.init(params),
+        ema_params=params if cfg.use_ema else None,
+        ema_batch_stats=batch_stats if cfg.use_ema else None)
 
     with mesh:
-        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
-                                   model_batch)
         state = jax.device_put(state, replicated(mesh))
         step = make_train_step(cfg, model, tx)
         new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
