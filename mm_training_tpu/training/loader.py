@@ -61,6 +61,7 @@ class PrefetchLoader:
         self.pad_last = pad_last
         self.process_rows = process_rows
         self.epoch = 0
+        self._start_batch = 0
         # one long-lived pool (a per-batch pool would churn threads)
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
@@ -75,6 +76,14 @@ class PrefetchLoader:
         if hasattr(self.dataset, 'set_epoch'):
             self.dataset.set_epoch(epoch)
 
+    def skip_batches(self, n: int):
+        """The NEXT iteration starts at batch ``n`` of the epoch's
+        deterministic batch plan (then resets to 0). Mid-epoch resume: the
+        skipped batches are never loaded — the index plan is sliced, so
+        fast-forwarding costs no IO (Lightning restores the loader position
+        from the checkpoint the same way)."""
+        self._start_batch = n
+
     def _batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
@@ -85,7 +94,8 @@ class PrefetchLoader:
             yield idx[b * self.batch_size:(b + 1) * self.batch_size]
 
     def __iter__(self) -> Iterator[dict]:
-        batches = list(self._batches())
+        batches = list(self._batches())[self._start_batch:]
+        self._start_batch = 0
         if not batches:
             return iter(())
 

@@ -102,6 +102,13 @@ class Trainer:
                        if is_main_process() else NullLogger())
         self._ckpt_managers = {}
         self.global_step = 0
+        # training-loop state (checkpointed alongside params — Lightning
+        # restores Trainer + callback state on ckpt_path resume,
+        # mm_training_aim.py:597,638: EarlyStopping counters, epoch, loader
+        # position). _loop_restored flips when a checkpoint carried it.
+        self.loop_state = {'epoch': 0, 'batch_in_epoch': 0,
+                           'best_val': float('inf'), 'patience': 0}
+        self._loop_restored = False
 
     # ----------------------------------------------------------------- data
     def dataset(self, split: str) -> AiMotiveDataset:
@@ -143,8 +150,21 @@ class Trainer:
         if steps_per_epoch is None:
             try:
                 steps_per_epoch = max(1, len(self.loader('train')))
-            except Exception:
+            except TypeError:
+                # a custom injected dataset without __len__ — the ONLY case
+                # where a default is meaningful. Loud: the LR milestones
+                # ([19, 23] epochs) are scheduled in steps, so a wrong
+                # steps_per_epoch silently corrupts the schedule.
+                import warnings
                 steps_per_epoch = 1000
+                warnings.warn(
+                    'train dataset has no __len__; defaulting '
+                    f'steps_per_epoch={steps_per_epoch} — LR epoch '
+                    'milestones will be scheduled against this value. Pass '
+                    'Trainer.setup(steps_per_epoch=...) explicitly.',
+                    stacklevel=2)
+            # any other loader failure propagates: training cannot proceed
+            # without data, and a silent fallback would mis-schedule the LR
         # linear LR scaling over the GLOBAL batch (conf_aim.py:14's
         # lr = base/64*batch with per-GPU batch_size x world_size semantics):
         # cfg.learning_rate covers the per-device factor, the mesh's data
@@ -257,7 +277,8 @@ class Trainer:
         # when idle); orbax requires one save at a time per manager
         mgr.wait_until_finished()
         mgr.save(int(self.state.step),
-                 args=ocp.args.StandardSave(_state_to_pytree(self.state)),
+                 args=ocp.args.StandardSave(
+                     _state_to_pytree(self.state, self.loop_state)),
                  metrics=metrics)
         if not self.cfg.async_checkpointing:
             mgr.wait_until_finished()
@@ -289,9 +310,23 @@ class Trainer:
         if os.path.isdir(os.path.join(path, 'default')):
             path = os.path.join(path, 'default')
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, _state_to_pytree(self.state))
+        template = _state_to_pytree(self.state, self.loop_state)
+        try:  # pre-loop-state checkpoints have no 'loop' subtree
+            has_loop = 'loop' in ckptr.metadata(path).item_metadata.tree
+        except Exception:
+            has_loop = True  # assume current format; restore raises if not
+        if not has_loop:
+            template.pop('loop')
+        restored = ckptr.restore(path, template)
         self.state = _pytree_to_state(self.state, restored)
         self.global_step = int(self.state.step)
+        if 'loop' in restored:
+            self.loop_state = {
+                'epoch': int(restored['loop']['epoch']),
+                'batch_in_epoch': int(restored['loop']['batch_in_epoch']),
+                'best_val': float(restored['loop']['best_val']),
+                'patience': int(restored['loop']['patience'])}
+            self._loop_restored = True
         return self.state
 
     # ------------------------------------------------------------------ fit
@@ -318,8 +353,12 @@ class Trainer:
             try:
                 first = next(iter(train_loader))
             except StopIteration:
+                try:  # injected datasets may lack __len__
+                    n = str(len(self.dataset('train')))
+                except TypeError:
+                    n = 'an unknown number of'
                 raise ValueError(
-                    f'train split has {len(self.dataset("train"))} frames — '
+                    f'train split has {n} frames — '
                     f'fewer than one global batch '
                     f'({self.cfg.batch_size} per device x '
                     f'{self.data_parallel_size} data-parallel = '
@@ -331,8 +370,6 @@ class Trainer:
                 self.restore(str(latest))
 
         rng = jax.random.PRNGKey(cfg.seed + 1)
-        best_val = float('inf')
-        patience = 0
 
         # sanity val steps (num_sanity_val_steps=2, mm_training_aim.py:624)
         if cfg.num_sanity_val_steps:
@@ -341,13 +378,28 @@ class Trainer:
 
         kdisp = max(1, cfg.steps_per_dispatch)
         timer = StepTimer()
-        # resume lands in the epoch the restored step sits in — restarting
-        # at 0 would replay the whole schedule (max_epochs EXTRA epochs)
-        # and reuse epoch-0 data order. (best_val/patience restart fresh:
-        # early-stop state is not checkpointed.)
-        start_epoch = self.global_step // max(1, self.steps_per_epoch)
+        # resume: the checkpointed loop state carries the exact epoch,
+        # loader position and early-stop counters (Lightning parity —
+        # callbacks + loaders restore on ckpt_path resume,
+        # mm_training_aim.py:597,638). Pre-loop-state checkpoints fall back
+        # to inferring the epoch from the step count.
+        if self._loop_restored:
+            start_epoch = self.loop_state['epoch']
+            resume_batch = self.loop_state['batch_in_epoch']
+        else:
+            start_epoch = self.global_step // max(1, self.steps_per_epoch)
+            resume_batch = 0
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
+            if resume_batch:
+                # mid-epoch resume: fast-forward the deterministic batch
+                # plan (saves at step boundaries keep this a multiple of
+                # the K-dispatch group size, so grouping stays aligned
+                # with the unkilled run's)
+                train_loader.skip_batches(resume_batch)
+            self.loop_state['epoch'] = epoch
+            self.loop_state['batch_in_epoch'] = resume_batch
+            resume_batch = 0
             for batch, device_batch, stacked in self._device_batches(
                     train_loader, stack=kdisp):
                 if max_steps and self.global_step >= max_steps:
@@ -386,6 +438,7 @@ class Trainer:
                     n = batch['points'].shape[0] * (
                         batch['points'].shape[1] if stacked else 1)
                 self.global_step = int(self.state.step)  # fetch = step barrier
+                self.loop_state['batch_in_epoch'] += kdisp if stacked else 1
                 timer.stop(n_samples=n)
                 self.logger.log_step(self.global_step, metrics)
                 if cfg.viz_every_n_steps and (
@@ -404,13 +457,19 @@ class Trainer:
 
             val_metrics = self._run_eval('val')
             vloss = val_metrics.get('val_detection_loss', float('inf'))
-            self.save_checkpoint('best', metrics={'val_detection_loss': vloss})
-            if vloss < best_val:
-                best_val, patience = vloss, 0
+            # update the early-stop counters BEFORE the epoch-end save so a
+            # resume from this checkpoint makes the same stop/best decisions
+            # as the unkilled run
+            if vloss < self.loop_state['best_val']:
+                self.loop_state['best_val'] = vloss
+                self.loop_state['patience'] = 0
             else:
-                patience += 1
-                if patience >= cfg.early_stop_patience:
-                    break
+                self.loop_state['patience'] += 1
+            self.loop_state['epoch'] = epoch + 1
+            self.loop_state['batch_in_epoch'] = 0
+            self.save_checkpoint('best', metrics={'val_detection_loss': vloss})
+            if self.loop_state['patience'] >= cfg.early_stop_patience:
+                break
             if max_steps and self.global_step >= max_steps:
                 break
         return self.state
@@ -767,12 +826,22 @@ def _pick_restore_step(root: str, step_dirs) -> int:
     return max(int(d) for d in step_dirs)
 
 
-def _state_to_pytree(state: TrainState):
+def _state_to_pytree(state: TrainState, loop_state: Optional[dict] = None):
     tree = {'step': state.step, 'params': state.params,
             'batch_stats': state.batch_stats, 'opt_state': state.opt_state}
     if state.ema_params is not None:
         tree['ema_params'] = state.ema_params
         tree['ema_batch_stats'] = state.ema_batch_stats
+    if loop_state is not None:
+        # full loop state (Lightning parity: EarlyStopping counters + epoch
+        # + loader position survive a resume). Arrays, not python scalars —
+        # orbax StandardSave wants a uniform array tree.
+        tree['loop'] = {  # 0-d arrays: orbax rejects bare numpy scalars
+            'epoch': np.asarray(loop_state['epoch'], np.int64),
+            'batch_in_epoch': np.asarray(loop_state['batch_in_epoch'],
+                                         np.int64),
+            'best_val': np.asarray(loop_state['best_val'], np.float64),
+            'patience': np.asarray(loop_state['patience'], np.int64)}
     return tree
 
 

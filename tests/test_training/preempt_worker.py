@@ -52,9 +52,17 @@ def main():
         resumed_from = int(tr.state.step)
     print(f'RESUMED_FROM {resumed_from}', flush=True)
     tr.fit(max_steps=int(max_steps))
+    # early-stop/best-checkpoint decisions for the parent to compare
+    # against an unkilled control run (Lightning parity: callback state is
+    # part of the checkpoint, so resume must not change any decision)
+    best_dir = tr.out_path / 'saved_models' / 'best'
+    best_steps = (sorted(int(p.name) for p in best_dir.iterdir()
+                         if p.name.isdigit()) if best_dir.is_dir() else [])
     with open(res, 'w') as f:
         json.dump({'resumed_from': resumed_from,
-                   'final_step': int(tr.state.step)}, f)
+                   'final_step': int(tr.state.step),
+                   'loop_state': tr.loop_state,  # json handles inf natively
+                   'best_steps': best_steps}, f)
     print('WORKER DONE', flush=True)
 
 

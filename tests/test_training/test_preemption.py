@@ -51,6 +51,12 @@ def test_sigkill_mid_run_then_auto_resume(tmp_path):
     cache = str(tmp_path / 'jax_cache')
     latest = Path(out) / 'saved_models' / 'latest'
 
+    # unkilled CONTROL run in its own out dir (concurrent with run 1):
+    # the killed+resumed run must reach the same early-stop/best decisions
+    ctl_out = str(tmp_path / 'ctl_out')
+    ctl_res = str(tmp_path / 'ctl_result.json')
+    ctl = _launch(root, ctl_out, 8, ctl_res, cache)
+
     # run 1: kill as soon as a checkpoint for step >= 2 is committed
     p = _launch(root, out, 8, res, cache)
     deadline = time.time() + 900
@@ -90,3 +96,16 @@ def test_sigkill_mid_run_then_auto_resume(tmp_path):
               if 'train_loss' in l]
     assert logged[-1] == 8
     assert max(logged) == 8 and logged.count(1) == 1
+
+    # the killed+resumed run's training-loop state (epoch, loader position,
+    # early-stop counters) and best-checkpoint decisions must equal the
+    # unkilled control's — the loop state is part of the orbax tree
+    # (Lightning restores Trainer+callback state on resume,
+    # exps/mm_training_aim.py:597,638)
+    ctl_log = ctl.communicate(timeout=900)[0].decode()
+    assert ctl.returncode == 0, ctl_log[-3000:]
+    with open(ctl_res) as f:
+        c = json.load(f)
+    assert c['final_step'] == 8
+    assert r['loop_state'] == c['loop_state'], (r, c)
+    assert r['best_steps'] == c['best_steps'], (r, c)
