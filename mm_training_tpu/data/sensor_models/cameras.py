@@ -46,6 +46,11 @@ class CameraModel:
     # read-touch/insert/evict must hold this lock (move_to_end racing a
     # popitem of the same key raises KeyError otherwise)
     _remap_lock = threading.Lock()
+    # in-flight compute dedup: concurrent misses on the same (target,
+    # source) key wait for the first thread's full-grid ray remap instead
+    # of recomputing it (loader warm-up fans many frames of the same rig
+    # across the pool at once)
+    _remap_inflight: 'dict[Tuple[str, str], threading.Event]' = {}
 
     def __init__(self, image_size, rotation: Optional[np.ndarray] = None,
                  translation=None):
@@ -102,27 +107,46 @@ class CameraModel:
         """
         key = (self._fingerprint(), source_cam._fingerprint())
         cache = CameraModel._remap_cache
+        inflight = CameraModel._remap_inflight
         cached = None
+        owner = False
         if use_cache:
-            with CameraModel._remap_lock:
-                cached = cache.get(key)
-                if cached is not None:
-                    cache.move_to_end(key)  # LRU touch
-        if cached is None:
-            rays = self.grid_rays().astype(np.float64)
-            if not np.allclose(self.cam_to_body[:3, :3], source_cam.cam_to_body[:3, :3]):
-                assert np.allclose(self.cam_to_body[:3, 3], source_cam.cam_to_body[:3, 3]), \
-                    'camera centers must match for pure-rotation remap'
-                rel = source_cam.body_to_cam[:3, :3] @ self.cam_to_body[:3, :3]
-                rays = rays @ rel.T
-            px, invalid = source_cam.ray2image(rays.astype(np.float32))
-            mapping = px.astype(np.float32)
-            cached = (mapping, invalid)
-            if use_cache:
+            while True:
                 with CameraModel._remap_lock:
-                    cache[key] = cached
-                    while len(cache) > CameraModel._REMAP_CACHE_MAX:
-                        cache.popitem(last=False)
+                    cached = cache.get(key)
+                    if cached is not None:
+                        cache.move_to_end(key)  # LRU touch
+                        break
+                    waiter = inflight.get(key)
+                    if waiter is None:
+                        # we compute; peers wait on the event instead of
+                        # duplicating the full-grid ray remap
+                        inflight[key] = threading.Event()
+                        owner = True
+                        break
+                waiter.wait()
+                # loop: re-read the cache — if the owner failed (event set,
+                # key absent) we become the next owner and compute ourselves
+        if cached is None:
+            try:
+                rays = self.grid_rays().astype(np.float64)
+                if not np.allclose(self.cam_to_body[:3, :3], source_cam.cam_to_body[:3, :3]):
+                    assert np.allclose(self.cam_to_body[:3, 3], source_cam.cam_to_body[:3, 3]), \
+                        'camera centers must match for pure-rotation remap'
+                    rel = source_cam.body_to_cam[:3, :3] @ self.cam_to_body[:3, :3]
+                    rays = rays @ rel.T
+                px, invalid = source_cam.ray2image(rays.astype(np.float32))
+                mapping = px.astype(np.float32)
+                cached = (mapping, invalid)
+                if use_cache:
+                    with CameraModel._remap_lock:
+                        cache[key] = cached
+                        while len(cache) > CameraModel._REMAP_CACHE_MAX:
+                            cache.popitem(last=False)
+            finally:
+                if owner:
+                    with CameraModel._remap_lock:
+                        inflight.pop(key, None).set()
         mapping, invalid = cached
         if cv2 is not None:
             out = cv2.remap(image, mapping[..., 0], mapping[..., 1], cv2.INTER_LINEAR)

@@ -43,7 +43,13 @@ def _bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.
     # the fp32 coordinate weights promote a bf16 image; cast back so the
     # warp preserves the caller's compute dtype (promotion chaining would
     # otherwise drag the fuse layer + BEV head to fp32 — the measured
-    # pitfall class documented at models/resnet.py mask cast)
+    # pitfall class documented at models/resnet.py mask cast). Float maps
+    # only: casting back to an integer dtype would truncate the bilinear
+    # weights to nearest-int artifacts.
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        raise TypeError(
+            f'bilinear sampling needs a float image, got {img.dtype} — '
+            'cast to float before warping')
     return out.astype(img.dtype)
 
 

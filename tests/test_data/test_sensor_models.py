@@ -106,3 +106,42 @@ def test_remap_cache_thread_safe_under_eviction():
     with ThreadPoolExecutor(max_workers=8) as pool:
         assert all(pool.map(worker, range(16)))
     assert len(CameraModel._remap_cache) <= CameraModel._REMAP_CACHE_MAX
+
+
+def test_remap_inflight_dedup_computes_once(monkeypatch):
+    """Concurrent cache misses on the SAME (target, source) key must not
+    each recompute the full-grid ray remap: the first thread computes, the
+    rest wait on its in-flight event (loader warm-up fans many frames of
+    one rig across the pool at once)."""
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mm_training_tpu.data.sensor_models.cameras import CameraModel
+
+    size = (12, 16)
+    img = np.zeros(size + (3,), np.uint8)
+    cam = CameraPinhole(K, size)
+    CameraModel._remap_cache.clear()
+
+    calls = []
+    lock = threading.Lock()
+    orig = CameraPinhole.ray2image
+
+    def counting(self, rays):
+        with lock:
+            calls.append(threading.get_ident())
+        time.sleep(0.05)  # widen the miss window so threads overlap
+        return orig(self, rays)
+
+    monkeypatch.setattr(CameraPinhole, 'ray2image', counting)
+    start = threading.Barrier(8)
+
+    def worker(_):
+        start.wait()
+        return cam.remap_from(cam, img).shape
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        shapes = list(pool.map(worker, range(8)))
+    assert all(s == shapes[0] for s in shapes)
+    assert len(calls) == 1, f'remap computed {len(calls)}x for one key'

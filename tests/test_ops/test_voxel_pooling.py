@@ -55,6 +55,22 @@ def test_lift_splat_equals_materialized_outer_product():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_lift_splat_matrix_variant_matches_lift_splat():
+    """The MatrixVT-style ray-matrix formulation (lift_splat_matrix) is an
+    algebraic rearrangement of lift_splat — identical output on the same
+    inputs (it exists as the documented alternative formulation and a
+    benchmark comparator; this pins that it stays equivalent)."""
+    from mm_training_tpu.ops import lift_splat_matrix
+    rng = np.random.default_rng(2)
+    m, d, p, c, g = 2, 12, 24, 8, 30
+    depth = jnp.asarray(rng.random((m, d, p)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(m, p, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, g + 1, size=(m, d, p)).astype(np.int32))
+    a = np.asarray(lift_splat(depth, ctx, idx, g))
+    b = np.asarray(lift_splat_matrix(depth, ctx, idx, g))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_voxel_pooling_gradient_is_gather():
     """VJP parity with the reference backward (voxel_pooling.py:57-69):
     d(out)/d(feat_i) routes the output-cell gradient back to each in-bounds
