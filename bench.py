@@ -1,11 +1,19 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Measures training throughput (samples/sec/chip) of the flagship
+Headline metric: training throughput (samples/sec/chip) of the flagship
 LiDAR+radar+camera fusion model at production shapes (704x1280 x4 cameras,
 100k points, 2048x256 BEV grid) on the attached TPU chip, using the
 production K-step dispatch (Config.steps_per_dispatch: lax.scan over stacked
 micro-batches amortizes the fixed per-dispatch host cost of the
 remote-attached backend).
+
+The same line carries an ``extra`` dict with the other modality configs and
+the serving latency, so a regression in any of them shows up in the driver's
+BENCH artifact (VERDICT r3 #6), not just in BASELINE.md archaeology:
+  - train_sps_lidar_only      (L,   batch 2, K=8)
+  - train_sps_lidar_radar     (L+R, batch 2, K=8)
+  - predict_p50_ms            (B=1 L+R+C forward + decode + circle NMS +
+                               bundled host fetch — the serving path)
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 ``vs_baseline`` ratio is computed against the BASELINE.md target proxy of
@@ -16,33 +24,29 @@ from __future__ import annotations
 
 import json
 import time
+import traceback
 
 A100_BASELINE_SAMPLES_PER_SEC = 2.0
 K_STEPS = 16  # steps per dispatch (sweep: 4->8.00, 8->8.28, 16->8.36, 32->8.40 samples/s)
 
 
-def main():
+def _train_sps(cfg, k: int, dispatches: int) -> float:
+    """Measured training samples/s for one config: K-step scan dispatches
+    with a per-dispatch metric fetch (matches how the trainer consumes
+    metrics; queueing a second large program behind an uncompleted one
+    stalls the remote-attached backend indefinitely — measured)."""
     import jax
     import jax.numpy as jnp
 
-    from mm_training_tpu.configs import lidar_cam_radar, tiny_test_config
     from mm_training_tpu.data.fake_batch import make_fake_batch
     from mm_training_tpu.models import BEVDepthLiDAR
     from mm_training_tpu.training.optim import make_optimizer
     from mm_training_tpu.training.train_step import (create_train_state,
                                                      make_train_step_multi)
 
-    on_tpu = jax.default_backend() in ('tpu', 'axon')
-    if on_tpu:
-        cfg = lidar_cam_radar(batch_size=2, max_points_per_frame=100_000,
-                              steps_per_dispatch=K_STEPS)
-    else:  # CPU smoke fallback so the harness always emits a line
-        cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True,
-                               batch_size=1, steps_per_dispatch=K_STEPS)
-
     model = BEVDepthLiDAR(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
-    batch = {k: jnp.asarray(v) for k, v in make_fake_batch(
+    batch = {kk: jnp.asarray(v) for kk, v in make_fake_batch(
         cfg, batch_size=cfg.batch_size, seed=0).items()}
     model_batch = dict(batch)
     b, s, n = batch['imgs'].shape[:3]
@@ -50,28 +54,106 @@ def main():
 
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
                                model_batch)
-    stacked = {k: jnp.broadcast_to(v[None], (K_STEPS,) + v.shape)
-               for k, v in batch.items()}
-    train_step = make_train_step_multi(cfg, model, tx, K_STEPS)
+    stacked = {kk: jnp.broadcast_to(v[None], (k,) + v.shape)
+               for kk, v in batch.items()}
+    train_step = make_train_step_multi(cfg, model, tx, k)
     rng = jax.random.PRNGKey(1)
 
-    # warmup: compile + 2 dispatches. NOTE: fetch after every dispatch —
-    # queueing a second large program behind an uncompleted one stalls the
-    # remote-attached backend indefinitely (measured), and per-dispatch fetch
-    # matches how the trainer consumes metrics anyway.
-    state, metrics = train_step(state, stacked, rng)
-    _ = float(metrics['train_loss'])
-    state, metrics = train_step(state, stacked, rng)
-    _ = float(metrics['train_loss'])
+    # warmup: compile + 2 dispatches
+    for _ in range(2):
+        state, metrics = train_step(state, stacked, rng)
+        _ = float(metrics['train_loss'])
 
-    dispatches = 6 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(dispatches):
         state, metrics = train_step(state, stacked, rng)
         _ = float(metrics['train_loss'])
     dt = time.perf_counter() - t0
+    return cfg.batch_size * k * dispatches / dt
 
-    sps = cfg.batch_size * K_STEPS * dispatches / dt
+
+def _predict_p50_ms(cfg, iters: int = 30) -> float:
+    """B=1 serving latency: forward + decode + circle NMS + ONE bundled
+    device->host fetch (serial per-array fetches would each pay the ~30 ms
+    tunnel round-trip — BASELINE.md round-3 pitfall)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mm_training_tpu.data.fake_batch import make_fake_batch
+    from mm_training_tpu.models import BEVDepthLiDAR, decode_boxes
+    from mm_training_tpu.training.train_step import (cast_floating,
+                                                     normalize_images)
+
+    model = BEVDepthLiDAR(cfg)
+    head_conf = cfg.get_head_conf()
+    bf16 = cfg.precision == 'bf16'
+    batch = {kk: jnp.asarray(v) for kk, v in make_fake_batch(
+        cfg, batch_size=1, seed=0).items()}
+    b, s, n = batch['imgs'].shape[:3]
+    batch['flipped'] = jnp.zeros((b * s * n,), bool)
+    for kk in ('gt_boxes', 'gt_labels', 'gt_mask'):
+        batch.pop(kk, None)
+
+    init_batch = dict(batch)
+    init_batch['imgs'] = normalize_images(batch['imgs'])
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), init_batch, None, False)
+
+    @jax.jit
+    def fn(variables, batch):
+        model_batch = dict(batch)
+        model_batch['imgs'] = normalize_images(batch['imgs'])
+        v = cast_floating(variables, jnp.bfloat16) if bf16 else variables
+        preds, _, _, _ = model.apply(v, model_batch, None, False)
+        return decode_boxes(head_conf, cast_floating(preds, jnp.float32))
+
+    jax.device_get(fn(variables, batch))  # compile + first fetch
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.device_get(fn(variables, batch))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(np.asarray(lat), 50))
+
+
+def main():
+    import jax
+
+    from mm_training_tpu.configs import tiny_test_config, variants
+
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    if on_tpu:
+        cfg = variants.lidar_cam_radar(batch_size=2,
+                                       max_points_per_frame=100_000,
+                                       steps_per_dispatch=K_STEPS)
+        sps = _train_sps(cfg, K_STEPS, dispatches=6)
+    else:  # CPU smoke fallback so the harness always emits a line
+        cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True,
+                               batch_size=1, steps_per_dispatch=K_STEPS)
+        sps = _train_sps(cfg, K_STEPS, dispatches=2)
+
+    # secondary metrics — never allowed to kill the headline line
+    extra = {}
+    if on_tpu:
+        for name, factory in (('train_sps_lidar_only', variants.lidar_only),
+                              ('train_sps_lidar_radar',
+                               variants.lidar_radar)):
+            try:
+                c = factory(batch_size=2, max_points_per_frame=100_000,
+                            steps_per_dispatch=8)
+                extra[name] = round(_train_sps(c, 8, dispatches=4), 4)
+            except Exception as e:
+                traceback.print_exc()
+                extra[name] = f'error: {type(e).__name__}: {e}'
+        try:
+            c = variants.lidar_cam_radar(batch_size=1,
+                                         max_points_per_frame=100_000)
+            extra['predict_p50_ms'] = round(_predict_p50_ms(c), 2)
+        except Exception as e:
+            traceback.print_exc()
+            extra['predict_p50_ms'] = f'error: {type(e).__name__}: {e}'
+
     # the CPU smoke fallback must be distinguishable from the real chip
     # benchmark: tiny-geometry CPU throughput vs the A100 baseline is
     # meaningless, and a silent TPU-attach failure must not be recorded as
@@ -85,6 +167,7 @@ def main():
         'unit': 'samples/s/chip',
         'vs_baseline': round(sps / A100_BASELINE_SAMPLES_PER_SEC, 4),
         'backend': jax.default_backend(),
+        'extra': extra,
     }))
 
 
