@@ -32,8 +32,30 @@ import os as _os
 if not _os.environ.get('MM_TRAINING_TPU_NO_COMPILE_CACHE'):
     import jax as _jax
 
-    _cache_dir = _os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                                 _os.path.expanduser('~/.cache/mm_training_tpu_xla'))
+    def _machine_key():
+        # XLA:CPU cache entries embed AOT-compiled kernels keyed to the
+        # build machine's CPU features; loading them on a different machine
+        # class fails (cpu_aot_loader "machine feature mismatch") after
+        # burning seconds per entry. ~/.cache may be shared across machine
+        # classes (driver vs judge hosts), so key the directory by a CPU
+        # fingerprint: same-class machines still share, different ones
+        # never collide.
+        import hashlib
+        import platform
+        sig = platform.machine()
+        try:
+            with open('/proc/cpuinfo') as f:
+                for line in f:
+                    if line.startswith(('model name', 'flags')):
+                        sig += line
+                        if line.startswith('flags'):
+                            break
+        except OSError:
+            sig += platform.processor() or ''
+        return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+    _cache_dir = _os.environ.get('JAX_COMPILATION_CACHE_DIR') or _os.path.join(
+        _os.path.expanduser('~/.cache/mm_training_tpu_xla'), _machine_key())
     try:
         # measured on the remote-attached ('axon') backend: reading a large
         # cached executable takes 3x longer than a fresh compile —

@@ -184,6 +184,13 @@ def _build_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
     """Un-jitted single train step (state, batch, rng) -> (state, metrics)."""
     head_conf = cfg.get_head_conf()
     bf16 = cfg.precision == 'bf16'
+    # env MMT_REMAT=1: rematerialize the model forward on the backward pass
+    # (jax.checkpoint over the whole apply — recompute-everything policy).
+    # Trades ~1/3 more FLOPs for dropping all forward activations from the
+    # peak; the lever for per-device batches the 16 GB HBM can't otherwise
+    # hold (scripts/compile_probe.py uses it to bisect the B=4 K=8 compile
+    # blow-up; reference trains B=4/GPU, exps/configs/lidar_cam_radar.py:9).
+    remat = os.environ.get('MMT_REMAT', '') == '1'
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         batch = _strip_host_fields(batch)
@@ -209,10 +216,16 @@ def _build_train_step(cfg: Config, model: BEVDepthLiDAR, tx):
             apply_params = cast_floating(params, jnp.bfloat16) if bf16 else params
             apply_stats = (cast_floating(state.batch_stats, jnp.bfloat16)
                            if bf16 else state.batch_stats)
-            (preds, depth_pred, _, _), mutated = model.apply(
+            def fwd(variables, model_batch, oracle):
+                (preds, depth_pred, _, _), mutated = model.apply(
+                    variables, model_batch, oracle, True,
+                    mutable=['batch_stats'], rngs={'dropout': rng_drop})
+                return preds, depth_pred, mutated
+            if remat:
+                fwd = jax.checkpoint(fwd)
+            preds, depth_pred, mutated = fwd(
                 {'params': apply_params, 'batch_stats': apply_stats},
-                model_batch, oracle, True,
-                mutable=['batch_stats'], rngs={'dropout': rng_drop})
+                model_batch, oracle)
             preds = cast_floating(preds, jnp.float32)
             det = detection_loss(head_conf, targets, preds)
             dep = (depth_loss_fn(d_labels, depth_pred.astype(jnp.float32))
