@@ -484,21 +484,15 @@ class Trainer:
         self.map_calculator.reset()
         agg: Dict[str, float] = {}
         count = 0
-        for bi, (batch, device_batch, _) in enumerate(
-                self._device_batches(loader, max_batches)):
-            with self.mesh:
-                eval_fn = self._synced_compile('_eval_step', self.state,
-                                               device_batch)
-                metrics, (boxes, scores, labels, valid), viz = \
-                    eval_fn(self.state, device_batch)
+
+        def consume(bi, batch, mkeys, dev_out, viz):
             # per-row consumers get THIS process's rows only (global rows
             # are not host-fetchable across processes); all_gather_object
             # pools the accumulations below. The loss scalars ride the same
             # bundled fetch — separate float(v) calls would each pay a
             # tunnel round-trip (~30 ms) on remote-attached backends
-            mkeys = list(metrics)
-            fetched = local_batches_numpy(boxes, scores, labels, valid,
-                                          *(metrics[k] for k in mkeys))
+            nonlocal count
+            fetched = local_batches_numpy(*dev_out)
             boxes, scores, labels, valid = fetched[:4]
             metrics = dict(zip(mkeys, fetched[4:]))
             self._accumulate_map(batch, boxes, scores, labels, valid)
@@ -515,6 +509,28 @@ class Trainer:
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v) * w
             count += w
+
+        # Software-pipelined dispatch/fetch: batch i+1's eval program is
+        # dispatched BEFORE batch i's outputs are fetched, so the host-side
+        # fetch round-trip + mAP accumulation of batch i overlap the device
+        # compute of batch i+1 (dispatch is async). _device_batches already
+        # overlaps the H2D transfer one batch ahead of that.
+        pending = None
+        for bi, (batch, device_batch, _) in enumerate(
+                self._device_batches(loader, max_batches)):
+            with self.mesh:
+                eval_fn = self._synced_compile('_eval_step', self.state,
+                                               device_batch)
+                metrics, (boxes, scores, labels, valid), viz = \
+                    eval_fn(self.state, device_batch)
+            mkeys = list(metrics)
+            dev_out = (boxes, scores, labels, valid,
+                       *(metrics[k] for k in mkeys))
+            if pending is not None:
+                consume(*pending)
+            pending = (bi, batch, mkeys, dev_out, viz)
+        if pending is not None:
+            consume(*pending)
         out = {f'{prefix}_{k}': v / max(count, 1) for k, v in agg.items()}
         # pool per-host accumulations before computing the metric
         # (replaces torch_dist.all_gather_object, mm_training_aim.py-era DDP)
@@ -693,15 +709,22 @@ class Trainer:
 
     def predict(self, split='val', max_batches=None):
         loader = self.loader(split)
+        # same dispatch/fetch pipeline as _run_eval: batch i's export
+        # (fetch + JSON write) overlaps batch i+1's device compute
+        pending = None
         for batch, device_batch, _ in self._device_batches(loader,
                                                            max_batches):
             with self.mesh:
                 predict_fn = self._synced_compile('_predict_step', self.state,
                                                   device_batch)
-                boxes, scores, labels, valid = predict_fn(
-                    self.state, device_batch)
-            self._export_results(batch, *local_batches_numpy(
-                boxes, scores, labels, valid))
+                out = predict_fn(self.state, device_batch)
+            if pending is not None:
+                pbatch, pout = pending
+                self._export_results(pbatch, *local_batches_numpy(*pout))
+            pending = (batch, out)
+        if pending is not None:
+            pbatch, pout = pending
+            self._export_results(pbatch, *local_batches_numpy(*pout))
 
     # -------------------------------------------------------------- helpers
     def _synced_compile(self, attr: str, *args):
