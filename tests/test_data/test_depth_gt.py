@@ -21,6 +21,7 @@ def synth_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_gen_depth_gt_writes_consumable_grids(synth_root, tmp_path):
     from mm_training_tpu.scripts.gen_depth_gt import main as gen_main
     out = str(tmp_path / 'depth_gt')

@@ -55,6 +55,7 @@ def test_fisheyes_become_four_virtual_pinholes(fisheye_root):
         assert abs(euler[0]) < 1e-6 and abs(euler[1]) < 1e-6
 
 
+@pytest.mark.slow
 def test_six_camera_batch_trains_one_step(fisheye_root):
     import jax
     import jax.numpy as jnp

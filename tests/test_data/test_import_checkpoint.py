@@ -1,5 +1,6 @@
 """import_checkpoint CLI: reference-shaped .pth -> converted orbax ckpt ->
 Trainer.restore round trip."""
+import pytest
 import numpy as np
 import torch
 
@@ -49,6 +50,7 @@ def _reference_ckpt(tmp_path, cfg, with_lidar=False):
     return path
 
 
+@pytest.mark.slow
 def test_import_checkpoint_roundtrip(tmp_path):
     cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True)
     ckpt = _reference_ckpt(tmp_path, cfg)
@@ -69,12 +71,15 @@ def test_import_checkpoint_roundtrip(tmp_path):
                             out_path=str(tmp_path / 'o'), ckpt_path=out,
                             batch_size=2)
     tr = Trainer(cfg2, data_root=root, mesh=make_mesh(jax.devices()[:1]))
-    tr.setup()
+    # eval-only dataset (no train split): pass steps_per_epoch explicitly,
+    # same as the evaluate/inference/parity entry points do
+    tr.setup(steps_per_epoch=1)
     tr.init_state(next(iter(tr.loader('val'))))  # restores from ckpt_path
     # imported conv kernels replaced the init (non-zero diff vs fresh seed)
     assert int(tr.state.step) == 0
 
 
+@pytest.mark.slow
 def test_import_checkpoint_full_lrc_zero_skipped(tmp_path):
     """With the import-compatible sparse lidar encoder an L+R+C-shaped
     checkpoint converts with ZERO skipped weights (VERDICT r2 item 1)."""

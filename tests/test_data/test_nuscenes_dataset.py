@@ -165,6 +165,7 @@ def test_nuscenes_loads_real_lidar_with_sweeps(tmp_path):
     assert pts[:, 2].min() > -1.5 + 1.7  # z = sensor z + 1.8
 
 
+@pytest.mark.slow
 def test_nuscenes_train_step_and_eval_end_to_end(tmp_path):
     """VERDICT r1 item 5: synthetic infos -> dataset -> camera train step
     (real depth labels -> nonzero depth loss) -> NuScenesEvaluator NDS."""
@@ -214,6 +215,7 @@ def test_nuscenes_train_step_and_eval_end_to_end(tmp_path):
     assert 'NDS' in res and np.isfinite(res['NDS'])
 
 
+@pytest.mark.slow
 def test_nuscenes_camera_key_frame_sweeps(tmp_path):
     """num_sweeps=2: the previous key frame of the same scene rides along as
     sweep 1, posed in the KEY frame's reference ego (the 5 m of egomotion
@@ -280,6 +282,7 @@ def test_nuscenes_eval_mode_center_crop(tmp_path):
     np.testing.assert_allclose(s['bda_mat'], np.eye(4))  # no aug at eval
 
 
+@pytest.mark.slow
 def test_nuscenes_depth_gt_pipeline(tmp_path):
     """VERDICT r2 item 4: gen_depth_gt --dataset nuscenes writes reference-
     format (u,v,depth) bins -> the dataset maps them through the sampled ida

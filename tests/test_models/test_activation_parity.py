@@ -480,6 +480,7 @@ def test_fuse_layer_parity():
     _report('bev_fuse', tm(_nchw(x)), out)
 
 
+@pytest.mark.slow
 def test_full_checkpoint_conversion_and_report():
     """Assemble a reference-shaped full checkpoint (camera branch + head +
     fuse), convert with convert_reference_checkpoint, graft into a real

@@ -7,6 +7,7 @@ from mm_training_tpu.configs import tiny_test_config
 from mm_training_tpu.models import LSSFPN, ResNet, SECONDFPN
 
 
+@pytest.mark.slow
 def test_resnet18_bev_trunk_strides():
     """mmdet-style trunk: stem /4, stages at /4, /8, /16 — the property that
     makes the head output 2x its input (see SURVEY quirks)."""
@@ -18,6 +19,7 @@ def test_resnet18_bev_trunk_strides():
     assert [o.shape for o in outs] == [(1, 8, 16, 16), (1, 4, 8, 32), (1, 2, 4, 64)]
 
 
+@pytest.mark.slow
 def test_resnet50_channels():
     model = ResNet(depth=50, out_indices=(0, 1, 2, 3))
     x = jnp.zeros((1, 64, 64, 3))
@@ -39,6 +41,7 @@ def test_second_fpn_image_neck():
     assert out.shape == (1, 4, 4, 512)
 
 
+@pytest.mark.slow
 def test_lss_fpn_end_to_end_tiny():
     cfg = tiny_test_config(use_cam=True)
     bb = cfg.get_backbone_conf()

@@ -1,6 +1,7 @@
 """Head tests: forward shapes, target-generation parity against a pure-python
 re-implementation of the reference algorithm (bev_depth_head.py:113-254),
 loss finiteness, and fixed-shape decode."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,6 +117,7 @@ def test_get_targets_matches_reference_loop():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_head_forward_output_is_2x_input():
     cfg = tiny_test_config()
     conf = cfg.get_head_conf()
@@ -138,6 +140,7 @@ def test_head_forward_output_is_2x_input():
         float(jax.nn.sigmoid(preds[0]['heatmap'][0, 0, 0, 0])), 0.1006, atol=0.02)
 
 
+@pytest.mark.slow
 def test_loss_and_decode():
     cfg = tiny_test_config()
     conf = cfg.get_head_conf()

@@ -1,5 +1,6 @@
 """Multi-sweep camera path (lss_fpn.py:469-529 parity): non-key sweeps are
 stop-gradient and concat on channels."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from mm_training_tpu.configs import tiny_test_config
 from mm_training_tpu.models import LSSFPN
 
 
+@pytest.mark.slow
 def test_two_sweep_forward_concats_channels():
     cfg = tiny_test_config(use_cam=True)
     bb = cfg.get_backbone_conf()

@@ -66,6 +66,7 @@ def test_derived_config_matches_conf_aim(prod):
     assert hc.test_cfg.max_per_img == 500
 
 
+@pytest.mark.slow
 def test_train_step_shapes(prod):
     cfg, model, tx, state, batch = prod
     step = make_train_step(cfg, model, tx)
@@ -81,6 +82,7 @@ def test_train_step_shapes(prod):
         state.params, new_state.params)
 
 
+@pytest.mark.slow
 def test_multi_step_shapes(prod):
     cfg, model, tx, state, batch = prod
     k = 4

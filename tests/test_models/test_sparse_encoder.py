@@ -222,6 +222,7 @@ class TestSparseGolden:
         out, _ = _encode(_flax_encoder(hw), sd, grid, occ)
         assert float(jnp.abs(out).max()) == 0.0
 
+    @pytest.mark.slow
     def test_full_call_voxelizes_and_trains(self):
         """points -> voxelize -> encode; train-mode grads exist + finite."""
         rng = np.random.default_rng(2)

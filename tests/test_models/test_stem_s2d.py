@@ -95,6 +95,7 @@ def test_s2d_resnet_matches_plain_resnet():
                                    rtol=5e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_trained_s2d_stem_exports_exactly():
     """A freshly initialized s2d stem (masked taps nonzero in the raw param
     tree — flax masks them at apply time) must export -> re-import to the

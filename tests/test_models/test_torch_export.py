@@ -115,6 +115,7 @@ def test_export_import_roundtrip_bitexact(lidar_variant):
     assert n_checked > 200 and n_folded > 0
 
 
+@pytest.mark.slow
 def test_eval_forward_identical_after_roundtrip():
     """The functional invariant: eval-mode forward of the re-imported
     weights equals the original — the bias->BN folds must cancel exactly."""

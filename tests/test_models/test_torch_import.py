@@ -87,6 +87,7 @@ def _torch_forward(sd, x, depth):
 
 
 @pytest.mark.parametrize('depth', [18, 50])
+@pytest.mark.slow
 def test_converted_weights_match_torch_forward(depth):
     gen = torch.Generator().manual_seed(0)
     sd = _make_state_dict(depth, gen)

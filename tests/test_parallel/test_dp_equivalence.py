@@ -30,6 +30,7 @@ def _run_one_step(devices, model_parallel, batch_np, modalities):
     dict(use_cam=False, use_lidar=True, use_radar=True),
     dict(use_cam=True, use_lidar=True, use_radar=True),
 ])
+@pytest.mark.slow
 def test_dp8_matches_dp1(modalities):
     cfg = tiny_test_config(batch_size=GLOBAL_BATCH, **modalities)
     batch_np = make_fake_batch(cfg, batch_size=GLOBAL_BATCH, seed=0)
@@ -48,6 +49,7 @@ def test_dp8_matches_dp1(modalities):
     assert max_diff < 5e-4, f'dp=8 vs dp=1 param max-diff {max_diff}'
 
 
+@pytest.mark.slow
 def test_model_parallel2_matches_dp1():
     modalities = dict(use_cam=True, use_lidar=True, use_radar=True)
     cfg = tiny_test_config(batch_size=GLOBAL_BATCH, **modalities)

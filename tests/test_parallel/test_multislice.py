@@ -78,6 +78,7 @@ def test_trainer_builds_sliced_mesh_from_config():
     assert row[:half] == jax.devices()[:half]  # slice-contiguous layout
 
 
+@pytest.mark.slow
 def test_two_virtual_slices_match_dp1():
     """Slice-major device layout changes XLA's collective routing, never the
     math: 2-slice x 4-dp training equals 1-device training on the same

@@ -37,6 +37,7 @@ def test_extra_flags():
     assert args.latency is False
 
 
+@pytest.mark.slow
 def test_inference_latency_benchmark(tmp_path):
     """--latency drives the real predict step and reports percentiles."""
     import numpy as np
@@ -61,6 +62,7 @@ def test_inference_latency_benchmark(tmp_path):
     assert np.isfinite(stats['p99_ms'])
 
 
+@pytest.mark.slow
 def test_train_profile_flag(tmp_path):
     """--profile captures a device trace of a few steps and exits."""
     import pathlib

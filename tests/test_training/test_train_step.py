@@ -37,6 +37,7 @@ def _setup(cfg):
     dict(use_cam=False, use_lidar=True, use_radar=True),   # lidar_radar
     dict(use_cam=True, use_lidar=True, use_radar=True),    # full fusion
 ])
+@pytest.mark.slow
 def test_train_step_runs_and_learns(modalities):
     cfg = tiny_test_config(**modalities)
     model, tx, state, batch = _setup(cfg)
@@ -66,6 +67,7 @@ def test_train_step_runs_and_learns(modalities):
     assert int(state2.step) == 2
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential_steps():
     """K-step scan dispatch (steps_per_dispatch) must reproduce K sequential
     single-step dispatches bit-for-bit: same rng folds (keyed on state.step),
@@ -116,6 +118,7 @@ def test_eval_step_decodes_fixed_shapes():
     dict(use_cam=False, use_lidar=True, use_radar=True),
     dict(use_cam=True, use_lidar=True, use_radar=True),
 ])
+@pytest.mark.slow
 def test_eval_step_padded_batch_loss_exact(modalities):
     """A pad_last eval batch (sample_valid marking the padded tail) yields
     EXACTLY the losses of its valid prefix — padded duplicates are excluded
@@ -152,6 +155,7 @@ def test_compiler_options_env_parsing(monkeypatch):
     assert _compiler_options() is None
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_baseline(monkeypatch):
     """MMT_REMAT=1 wraps the model forward in jax.checkpoint — identical
     numerics (remat recomputes, never changes, the forward), lower peak

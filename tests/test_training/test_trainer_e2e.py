@@ -42,6 +42,7 @@ def _cfg(tmp_path, **kw):
     return tiny_test_config(**base)
 
 
+@pytest.mark.slow
 def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
     cfg = _cfg(tmp_path, steps_per_dispatch=2, viz_every_n_steps=2)
     tr = _trainer(cfg, synth_root)
@@ -83,6 +84,7 @@ def test_fit_multi_dispatch_validate_and_artifacts(synth_root, tmp_path):
     assert tr2.global_step in (2, 4, 6, 8)  # whichever latest save ran last
 
 
+@pytest.mark.slow
 def test_partial_dispatch_group_falls_back_to_single_steps(synth_root,
                                                            tmp_path):
     """4 batches/epoch with steps_per_dispatch=3: one scanned 3-group plus
@@ -108,6 +110,7 @@ def test_partial_dispatch_group_falls_back_to_single_steps(synth_root,
     assert tr.global_step == 2
 
 
+@pytest.mark.slow
 def test_per_odd_eval_matrix(synth_root, tmp_path):
     cfg = _cfg(tmp_path)
     tr = _trainer(cfg, synth_root)
@@ -120,6 +123,7 @@ def test_per_odd_eval_matrix(synth_root, tmp_path):
         assert f'test_{odd}_detection_loss' in metrics
 
 
+@pytest.mark.slow
 def test_tta_eval_runs(synth_root, tmp_path):
     cfg = _cfg(tmp_path, use_tta=True)
     tr = _trainer(cfg, synth_root)
@@ -138,6 +142,7 @@ def test_restore_raises_on_missing_path(synth_root, tmp_path):
         tr.restore(str(tmp_path / 'no_such_ckpt'))
 
 
+@pytest.mark.slow
 def test_pitched_rig_auto_falls_back_to_general_splat(synth_root, tmp_path):
     """A rig with roll/pitch (non-virtualized) must auto-switch the trainer
     to the general splat and still train."""
@@ -173,6 +178,7 @@ def test_pitched_rig_auto_falls_back_to_general_splat(synth_root, tmp_path):
     assert np.isfinite(float(metrics['train_loss']))
 
 
+@pytest.mark.slow
 def test_restore_best_picks_best_metric_step(synth_root, tmp_path):
     """restore('saved_models/best') must load the BEST-metric step, not the
     newest of the kept top-k (a top-k manager retains later, worse steps)."""
@@ -195,6 +201,7 @@ def test_restore_best_picks_best_metric_step(synth_root, tmp_path):
     assert int(tr.state.step) == 9
 
 
+@pytest.mark.slow
 def test_async_checkpoint_barrier_and_snapshot(synth_root, tmp_path):
     """Async saves must (a) barrier before a restore reads them and (b)
     snapshot the state at save() time — mutating tr.state right after an
@@ -222,6 +229,7 @@ def test_async_checkpoint_barrier_and_snapshot(synth_root, tmp_path):
     tr.wait_for_checkpoints()               # idempotent no-op when drained
 
 
+@pytest.mark.slow
 def test_resume_at_max_steps_is_a_noop(synth_root, tmp_path):
     """Resuming a run whose checkpoint already sits at max_steps must not
     crash (the K-group path would run zero micro-steps) and must not train

@@ -1,5 +1,6 @@
 """TTA tests: the flip ensemble returns canonical-parameterization maps and
 is consistent with the plain forward for a symmetric model state."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from mm_training_tpu.models import BEVDepthLiDAR, decode_boxes
 from mm_training_tpu.training.tta import tta_forward
 
 
+@pytest.mark.slow
 def test_tta_shapes_and_decode():
     cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
                            use_tta=True)
