@@ -39,12 +39,20 @@ def benchmark_latency(trainer: Trainer, iters: int = 50) -> dict:
 
 def main(argv=None):
     args = parse_args(argv, description='Run inference + JSON export',
-                      extra_flags=('latency',))
+                      extra_flags=('latency', 'fold-bn'))
     cfg = build_config(args)
     trainer = Trainer(cfg)
     trainer.setup(steps_per_epoch=1)
     first = next(iter(trainer.loader('val')))
     trainer.init_state(first)
+    if getattr(args, 'fold_bn', False):
+        # deploy-time conv-BN fusion (models/bn_fold.py): transform the
+        # weights AND flip the trace-time flag before the predict step's
+        # first (lazy) jit trace
+        from ..models.bn_fold import fold_state, set_bn_folded
+        trainer.state = fold_state(trainer.state)
+        set_bn_folded(True)
+        trainer._build_steps()
     if getattr(args, 'latency', False):
         stats = benchmark_latency(trainer)
         print('predict latency (fwd+decode+NMS+fetch): '

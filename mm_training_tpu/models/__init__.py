@@ -1,4 +1,5 @@
 from .bev_depth import BEVDepthLiDAR
+from .bn_fold import fold_conv_bn, fold_state, set_bn_folded
 from .centerpoint_head import (BEVDepthHead, clip_sigmoid, decode_boxes,
                                detection_loss, get_targets, get_targets_batch)
 from .depth_net import ASPP, DeformConv2d, DepthNet
@@ -13,6 +14,6 @@ __all__ = [
     'ASPP', 'BEVDepthHead', 'BEVDepthLiDAR', 'BEVFuseLayer', 'BasicBlock',
     'Bottleneck', 'ConvBN', 'DeformConv2d', 'DepthNet', 'ImportSparseEncoder',
     'LSSFPN', 'LidarBEVEncoder', 'ResNet', 'SECONDFPN',
-    'clip_sigmoid', 'decode_boxes', 'detection_loss', 'get_targets',
-    'get_targets_batch',
+    'clip_sigmoid', 'decode_boxes', 'detection_loss', 'fold_conv_bn',
+    'fold_state', 'get_targets', 'get_targets_batch', 'set_bn_folded',
 ]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..configs import HeadConf
 from ..ops.circle_nms import circle_nms_mask
 from ..ops.gaussian import draw_heatmap, gaussian_radius
+from .bn_fold import batch_norm
 from .resnet import ConvBN, ResNet
 from .second_fpn import SECONDFPN
 
@@ -53,10 +54,8 @@ class SeparateHead(nn.Module):
             for i in range(num_conv - 1):
                 h = nn.Conv(self.head_conv, (k, k), padding='SAME',
                             name=f'{name}_conv{i}')(h)
-                h = nn.BatchNorm(dtype=h.dtype,  # keep bf16 through BN (see resnet.py)
-                                 use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, axis_name=self.bn_axis_name,
-                                 name=f'{name}_bn{i}')(h)
+                h = batch_norm(h, train, axis_name=self.bn_axis_name,
+                               name=f'{name}_bn{i}')
                 h = nn.relu(h)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if name == 'heatmap' else nn.initializers.zeros)

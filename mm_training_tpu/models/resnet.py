@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from .bn_fold import batch_norm
+
 __all__ = ['ResNet', 'BasicBlock', 'Bottleneck', 'resnet_stage_channels',
            'stem_s2d_mask', 'stem_s2d_from_7x7', 'stem_7x7_from_s2d']
 
@@ -39,12 +41,7 @@ class ConvBN(nn.Module):
                     padding=[(pad, pad), (pad, pad)],
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False)(x)
-        # dtype=x.dtype: without it flax promotes to the fp32 of the running
-        # stats in training, silently turning every downstream conv fp32
-        # (statistics are still computed in fp32 internally)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis_name,
-                         dtype=x.dtype)(x)
+        x = batch_norm(x, train, axis_name=self.bn_axis_name)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -216,9 +213,7 @@ class _S2DStem(nn.Module):
                     kernel_init=masked_lecun,
                     mask=jnp.asarray(stem_s2d_mask(c, self.features),
                                      x.dtype))(xb)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis_name,
-                         dtype=x.dtype)(x)
+        x = batch_norm(x, train, axis_name=self.bn_axis_name)
         return nn.relu(x)
 
 

@@ -25,6 +25,8 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .bn_fold import batch_norm
+
 __all__ = ['SECONDFPN']
 
 
@@ -67,9 +69,7 @@ class SECONDFPN(nn.Module):
                 s = int(round(1 / us))
                 x = nn.Conv(ch, (s, s), strides=(s, s), padding='VALID',
                             use_bias=False, name=f'deblock{i}_conv')(x)
-            x = nn.BatchNorm(dtype=x.dtype,  # keep bf16 through BN (see resnet.py)
-                             use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, axis_name=self.bn_axis_name,
-                             name=f'deblock{i}_bn')(x)
+            x = batch_norm(x, train, axis_name=self.bn_axis_name,
+                           name=f'deblock{i}_bn')
             outs.append(nn.relu(x))
         return jnp.concatenate(outs, axis=-1)
