@@ -46,13 +46,7 @@ def main(argv=None):
     first = next(iter(trainer.loader('val')))
     trainer.init_state(first)
     if getattr(args, 'fold_bn', False):
-        # deploy-time conv-BN fusion (models/bn_fold.py): transform the
-        # weights AND flip the trace-time flag before the predict step's
-        # first (lazy) jit trace
-        from ..models.bn_fold import fold_state, set_bn_folded
-        trainer.state = fold_state(trainer.state)
-        set_bn_folded(True)
-        trainer._build_steps()
+        trainer.fold_bn_for_inference()
     if getattr(args, 'latency', False):
         stats = benchmark_latency(trainer)
         print('predict latency (fwd+decode+NMS+fetch): '

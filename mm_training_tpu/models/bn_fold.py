@@ -142,7 +142,11 @@ def fold_conv_bn(params: Dict[str, Any], batch_stats: Dict[str, Any],
             is_bn = (isinstance(sv, dict) and 'mean' in sv and 'var' in sv
                      and 'scale' in pv and 'bias' in pv)
             partner = _partner_name(k) if is_bn else None
-            holder = _kernel_holder(p.get(partner)) if partner else None
+            # read the partner through new_p when already visited so any
+            # folds applied inside it (nested-conv-child shape) are kept
+            src = (new_p.get(partner, p.get(partner))
+                   if partner is not None else None)
+            holder = _kernel_holder(src)
             if holder is None:
                 np_, ns_ = walk(pv, sv)
                 new_p[k] = np_
@@ -164,7 +168,7 @@ def fold_conv_bn(params: Dict[str, Any], batch_stats: Dict[str, Any],
             # in dict order, so update both the working copy and any
             # already-emitted entry
             kern = jnp.asarray(holder['kernel'], jnp.float32) * svec
-            folded_conv = dict(p[partner])
+            folded_conv = dict(src)
             tgt = folded_conv if 'kernel' in folded_conv else None
             if tgt is None:
                 (child,) = [ck for ck, cv in folded_conv.items()

@@ -253,6 +253,21 @@ class Trainer:
         self._eval_step = make_eval_step(cfg, self.model)
         self._predict_step = make_predict_step(cfg, self.model)
 
+    def fold_bn_for_inference(self):
+        """Apply deploy-time conv-BN fusion (models/bn_fold.py) to this
+        trainer, in place. Owns the invariant that must never split: fold
+        the weights (incl. the EMA shadow), flip the trace-time flag, and
+        rebuild the step programs so their (lazy) jit traces emit bias-only
+        FoldedBN modules. Inference-only — training after this raises at
+        trace time. Call after init_state/restore."""
+        from ..models.bn_fold import fold_state, set_bn_folded
+        if self.state is None:
+            raise RuntimeError('fold_bn_for_inference requires an '
+                               'initialized state (call init_state first)')
+        self.state = fold_state(self.state)
+        set_bn_folded(True)
+        self._build_steps()
+
     # ----------------------------------------------------------- checkpoint
     def _manager(self, name: str, best: bool):
         if ocp is None:

@@ -4,6 +4,12 @@
 Prints two JSON lines: predict p50 with plain eval BN and with folded BN
 (same random weights; the folded forward is numerically equivalent, see
 tests/test_models/test_bn_fold.py). Run: python scripts/bnfold_latency.py
+
+This is a controlled A/B micro-probe on a bare forward+decode program —
+it skips the production predict step's camera-input prep, so its absolute
+numbers differ slightly from the served latency. For the real serving
+measurement use ``exps.inference --latency [--fold-bn]``, which drives
+Trainer._predict_step.
 """
 import json
 import os

@@ -20,6 +20,7 @@ def _unfolded_after():
     set_bn_folded(False)
 
 
+@pytest.mark.slow
 def test_folded_forward_matches_eval_bn():
     """Full tiny fusion model, randomized params AND running stats: fold,
     flip the trace flag, compare every head map + the depth logits."""
