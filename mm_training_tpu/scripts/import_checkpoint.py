@@ -89,7 +89,17 @@ def import_checkpoint(ckpt_path: str, cfg, out: str = None,
             tree['ema_batch_stats'] = merged.get('batch_stats', {})
         import os
         path = os.path.abspath(os.path.join(out, '0', 'default'))
-        ocp.StandardCheckpointer().save(path, tree)
+        # StandardCheckpointer is an AsyncCheckpointer: save() returns
+        # before the atomic directory-rename commit. Block until the
+        # checkpoint is durable — callers (exps/parity, tests) restore it
+        # immediately, and an un-waited temporary checkpointer races its
+        # own GC (observed as flaky "No structure could be identified").
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            ckptr.save(path, tree)
+            ckptr.wait_until_finished()
+        finally:
+            ckptr.close()
         report['saved'] = path
     return report
 

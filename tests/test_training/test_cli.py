@@ -91,3 +91,44 @@ def test_string_values_pass_through():
     cfg = build_config(args)
     assert cfg.eval_split == 'night'
     assert cfg.experiment_name == 'lidar_radar_eval'
+
+
+@pytest.mark.slow
+def test_inference_fold_bn_matches_unfolded(tmp_path):
+    """Trainer.fold_bn_for_inference (the --fold-bn path): folded predict
+    decodes the same boxes as the unfolded predict on the same weights."""
+    import numpy as np
+    from mm_training_tpu.configs import tiny_test_config
+    from mm_training_tpu.data.synthetic import generate_synthetic_dataset
+    from mm_training_tpu.models.bn_fold import set_bn_folded
+    from mm_training_tpu.training.trainer import Trainer
+
+    root = str(tmp_path / 'ds')
+    generate_synthetic_dataset(root, splits=('val',), sequences_per_odd=1,
+                               frames_per_sequence=2, img_hw=(64, 128))
+    # fp32: this test pins the fold/flag/rebuild orchestration invariant —
+    # at bf16 the kernel-rescale rounding would loosen the decode compare
+    # (bf16 numerics are covered at model level in test_bn_fold.py)
+    cfg = tiny_test_config(use_cam=False, use_lidar=True, use_radar=True,
+                           batch_size=1, num_workers=1, precision='fp32',
+                           out_path=str(tmp_path / 'out'))
+    tr = Trainer(cfg, data_root=root)
+    tr.setup(steps_per_epoch=1)
+    batch = next(iter(tr.loader('val')))
+    tr.init_state(batch)
+    _, device_batch, _ = next(iter(tr._device_batches(tr.loader('val'))))
+    try:
+        with tr.mesh:
+            ref = [np.asarray(x) for x in
+                   tr._predict_step(tr.state, device_batch)]
+        tr.fold_bn_for_inference()
+        with tr.mesh:
+            got = [np.asarray(x) for x in
+                   tr._predict_step(tr.state, device_batch)]
+    finally:
+        set_bn_folded(False)
+    # boxes/scores: tolerance (fold reorders float ops); labels/valid exact
+    np.testing.assert_allclose(ref[0], got[0], atol=2e-3)
+    np.testing.assert_allclose(ref[1], got[1], atol=2e-3)
+    np.testing.assert_array_equal(ref[2], got[2])
+    np.testing.assert_array_equal(ref[3], got[3])
