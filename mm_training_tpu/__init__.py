@@ -35,27 +35,54 @@ if not _os.environ.get('MM_TRAINING_TPU_NO_COMPILE_CACHE'):
     def _machine_key():
         # XLA:CPU cache entries embed AOT-compiled kernels keyed to the
         # build machine's CPU features; loading them on a different machine
-        # class fails (cpu_aot_loader "machine feature mismatch") after
-        # burning seconds per entry. ~/.cache may be shared across machine
-        # classes (driver vs judge hosts), so key the directory by a CPU
-        # fingerprint: same-class machines still share, different ones
-        # never collide.
+        # fails (cpu_aot_loader "machine feature mismatch") after burning
+        # seconds per entry. A /proc/cpuinfo fingerprint is NOT enough: on
+        # VM hosts cpuinfo is virtualized to a stable generic string
+        # ("Xeon @ 2.10GHz", microcode 0x1) while LLVM detects the real
+        # underlying uarch via CPUID — tuning features like
+        # prefer-no-gather differ across boots that land on different
+        # metal, with identical cpuinfo (observed: entries written one day
+        # were feature-mismatched the next boot). Key by boot id instead:
+        # every process of one boot shares compiles (the expensive case —
+        # test suites, repeated CLI runs), and cross-boot reuse — the case
+        # that can't be validated — never happens.
         import hashlib
         import platform
         sig = platform.machine()
         try:
-            with open('/proc/cpuinfo') as f:
-                for line in f:
-                    if line.startswith(('model name', 'flags')):
-                        sig += line
-                        if line.startswith('flags'):
-                            break
-        except OSError:
-            sig += platform.processor() or ''
+            with open('/proc/sys/kernel/random/boot_id') as f:
+                sig += f.read()
+        except OSError:  # non-Linux: fall back to per-process (no reuse)
+            import uuid
+            sig += uuid.uuid4().hex
         return hashlib.sha1(sig.encode()).hexdigest()[:10]
 
+    _cache_root = _os.path.expanduser('~/.cache/mm_training_tpu_xla')
     _cache_dir = _os.environ.get('JAX_COMPILATION_CACHE_DIR') or _os.path.join(
-        _os.path.expanduser('~/.cache/mm_training_tpu_xla'), _machine_key())
+        _cache_root, _machine_key())
+
+    def _gc_stale_boot_dirs():
+        # Boot-keyed subdirs from previous boots are unreadable garbage
+        # (see _machine_key); reclaim them. Only prune inside our own
+        # root, never an operator-provided JAX_COMPILATION_CACHE_DIR.
+        import shutil
+        keep = _os.path.basename(_cache_dir)
+        try:
+            entries = _os.listdir(_cache_root)
+        except OSError:
+            return
+        for name in entries:
+            path = _os.path.join(_cache_root, name)
+            if name != keep:
+                shutil.rmtree(path, ignore_errors=True)
+                if _os.path.isfile(path):  # pre-keying legacy flat entries
+                    try:
+                        _os.remove(path)
+                    except OSError:
+                        pass
+
+    if not _os.environ.get('JAX_COMPILATION_CACHE_DIR'):
+        _gc_stale_boot_dirs()
     try:
         # measured on the remote-attached ('axon') backend: reading a large
         # cached executable takes 3x longer than a fresh compile —
