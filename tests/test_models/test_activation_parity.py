@@ -554,4 +554,4 @@ def test_bias_fold_into_bn_exactness(shift):
     with torch.no_grad():
         bn2.running_mean.copy_(bn.running_mean - b)
     out = bn2(x)
-    assert float((ref - out).abs().max()) < 1e-6
+    assert float((ref - out).detach().abs().max()) < 1e-6
