@@ -141,7 +141,8 @@ class Trainer:
                 self.dataset(split), global_bs,
                 shuffle=train, num_workers=self.cfg.num_workers,
                 seed=self.cfg.seed, drop_last=train, pad_last=not train,
-                process_rows=rows)
+                process_rows=rows,
+                worker_mode=getattr(self.cfg, 'loader_worker_mode', 'thread'))
         return self._loaders[split]
 
     # ---------------------------------------------------------------- setup
@@ -255,17 +256,19 @@ class Trainer:
 
     def fold_bn_for_inference(self):
         """Apply deploy-time conv-BN fusion (models/bn_fold.py) to this
-        trainer, in place. Owns the invariant that must never split: fold
-        the weights (incl. the EMA shadow), flip the trace-time flag, and
-        rebuild the step programs so their (lazy) jit traces emit bias-only
-        FoldedBN modules. Inference-only — training after this raises at
-        trace time. Call after init_state/restore."""
-        from ..models.bn_fold import fold_state, set_bn_folded
+        trainer's weights, in place. Folded-ness travels with the params
+        (a folded BN scope holds only {'bias'}; batch_norm emits a
+        bias-only FoldedBN when applied to such a tree), so other
+        models/Trainers in the process are unaffected and the jitted
+        steps retrace automatically on the new tree shape. Inference-only
+        — training on folded weights raises at trace time. Call after
+        init_state/restore."""
+        from ..models.bn_fold import fold_state
         if self.state is None:
             raise RuntimeError('fold_bn_for_inference requires an '
                                'initialized state (call init_state first)')
         self.state = fold_state(self.state)
-        set_bn_folded(True)
+        # drop jit caches still holding the unfolded-tree traces
         self._build_steps()
 
     # ----------------------------------------------------------- checkpoint
@@ -848,6 +851,7 @@ def _pick_restore_step(root: str, step_dirs) -> int:
     orbax for the best-metric step (the metrics are stored per step);
     fall back to the latest step for metric-less roots ('latest', external
     dirs)."""
+    query_failed = False
     if ocp is not None and len(step_dirs) > 1:
         try:
             opts = ocp.CheckpointManagerOptions(
@@ -860,8 +864,23 @@ def _pick_restore_step(root: str, step_dirs) -> int:
             if best is not None and str(best) in step_dirs:
                 return int(best)
         except Exception:
-            pass
-    return max(int(d) for d in step_dirs)
+            query_failed = True
+    fallback = max(int(d) for d in step_dirs)
+    # a best-k root whose steps carry per-step metrics (orbax stores them
+    # as a 'metrics' item inside each step dir) should have answered the
+    # best-step query — a silent fallback here restores the LATEST KEPT
+    # step, not the BEST one, which is the exact wrong-checkpoint class
+    # this function exists to prevent. Warn loudly.
+    if query_failed and any(
+            os.path.isdir(os.path.join(root, d, 'metrics'))
+            for d in step_dirs):
+        import warnings
+        warnings.warn(
+            f'best-step metadata query failed on {root!r} even though its '
+            f'step checkpoints carry per-step metrics; falling back to the '
+            f'NEWEST kept step {fallback} which may not be the best one',
+            stacklevel=2)
+    return fallback
 
 
 def _state_to_pytree(state: TrainState, loop_state: Optional[dict] = None):

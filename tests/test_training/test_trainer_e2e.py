@@ -178,6 +178,33 @@ def test_pitched_rig_auto_falls_back_to_general_splat(synth_root, tmp_path):
     assert np.isfinite(float(metrics['train_loss']))
 
 
+def test_pick_restore_step_warns_on_metadata_fallback(tmp_path, monkeypatch):
+    """If the orbax best-step query fails on a root whose steps DO carry
+    per-step metrics, the fallback to the newest kept step must warn (it may
+    restore a worse-than-best checkpoint); metric-less roots stay silent."""
+    import warnings
+    from mm_training_tpu.training import trainer as trainer_mod
+
+    class _Boom:
+        def __init__(self, *a, **kw):
+            raise RuntimeError('synthetic metadata corruption')
+
+    monkeypatch.setattr(trainer_mod.ocp, 'CheckpointManager', _Boom)
+
+    best = tmp_path / 'best'
+    for step in ('10', '20', '30'):
+        (best / step / 'metrics').mkdir(parents=True)
+    with pytest.warns(UserWarning, match='NEWEST kept step 30'):
+        assert trainer_mod._pick_restore_step(str(best), ['10', '20', '30']) == 30
+
+    latest = tmp_path / 'latest'  # metric-less root: silent fallback
+    for step in ('7', '9'):
+        (latest / step).mkdir(parents=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        assert trainer_mod._pick_restore_step(str(latest), ['7', '9']) == 9
+
+
 @pytest.mark.slow
 def test_restore_best_picks_best_metric_step(synth_root, tmp_path):
     """restore('saved_models/best') must load the BEST-metric step, not the
