@@ -1,5 +1,5 @@
 from .bev_depth import BEVDepthLiDAR
-from .bn_fold import fold_conv_bn, fold_state, set_bn_folded
+from .bn_fold import batch_norm, fold_conv_bn, fold_state
 from .centerpoint_head import (BEVDepthHead, clip_sigmoid, decode_boxes,
                                detection_loss, get_targets, get_targets_batch)
 from .depth_net import ASPP, DeformConv2d, DepthNet
@@ -15,5 +15,5 @@ __all__ = [
     'Bottleneck', 'ConvBN', 'DeformConv2d', 'DepthNet', 'ImportSparseEncoder',
     'LSSFPN', 'LidarBEVEncoder', 'ResNet', 'SECONDFPN',
     'clip_sigmoid', 'decode_boxes', 'detection_loss', 'fold_conv_bn',
-    'fold_state', 'get_targets', 'get_targets_batch', 'set_bn_folded',
+    'fold_state', 'get_targets', 'get_targets_batch', 'batch_norm',
 ]

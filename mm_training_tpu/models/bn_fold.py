@@ -15,10 +15,17 @@ ones). Folding therefore has two halves that must be used together:
 - :func:`fold_conv_bn` / :func:`fold_state` — a pure tree transform that
   rewrites each (conv kernel, BN params+stats) pair into (scaled kernel,
   single bias vector);
-- :func:`set_bn_folded` — a process-wide trace-time flag that makes
-  :func:`batch_norm` (the shared BN constructor used by ConvBN, the
-  ResNet stems, the CenterPoint head and SECONDFPN) emit a bias-only
-  :class:`FoldedBN` module instead of ``nn.BatchNorm``.
+- :func:`batch_norm` (the shared BN constructor used by ConvBN, the
+  ResNet stems, the CenterPoint head and SECONDFPN), which detects
+  folded-ness FROM THE WEIGHTS it is applied to: a folded BN scope holds
+  only ``{'bias'}`` (no ``'scale'``), so the constructor emits a bias-only
+  :class:`FoldedBN` there and a real ``nn.BatchNorm`` everywhere else.
+
+Folded-ness is therefore a property of the parameter tree, never of
+process state: folded and unfolded models coexist in one process, and a
+jitted step retraces automatically when handed the other tree shape
+(the pytree structures differ, so jit cache keys differ). Training on
+folded weights raises at trace time.
 
 Conv↔BN pairing is by the repo's naming conventions within one module
 scope: ``BatchNorm_0``↔``Conv_0`` (ConvBN / stems), ``{h}_bn{i}``↔
@@ -40,22 +47,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ['batch_norm', 'FoldedBN', 'set_bn_folded', 'bn_folded',
-           'fold_conv_bn', 'fold_state']
-
-_FOLDED = False
-
-
-def set_bn_folded(value: bool) -> None:
-    """Enable/disable folded-BN tracing process-wide. Set it BEFORE the
-    eval/predict step first runs (jit traces lazily) and pair it with
-    :func:`fold_state` on the weights."""
-    global _FOLDED
-    _FOLDED = bool(value)
-
-
-def bn_folded() -> bool:
-    return _FOLDED
+__all__ = ['batch_norm', 'FoldedBN', 'fold_conv_bn', 'fold_state']
 
 
 class FoldedBN(nn.Module):
@@ -68,19 +60,31 @@ class FoldedBN(nn.Module):
         return x + b.astype(x.dtype)
 
 
-def batch_norm(x, train: bool, *, axis_name: Optional[str] = None,
+def batch_norm(mdl: nn.Module, x, train: bool, *,
+               axis_name: Optional[str] = None,
                name: str = 'BatchNorm_0', momentum: float = 0.9,
                epsilon: float = 1e-5):
     """The shared BN constructor for every foldable conv+BN site.
 
+    ``mdl`` is the calling (compact) module; its bound params decide the
+    trace: a BN scope :func:`fold_conv_bn` rewrote holds only ``{'bias'}``,
+    so a missing ``'scale'`` leaf means "apply the folded program". init
+    always creates a real BatchNorm (folding is a post-init transform).
+
     dtype=x.dtype: without it flax promotes to the fp32 of the running
     stats, silently turning every downstream conv fp32 by promotion
     chaining (statistics are still computed in fp32 internally)."""
-    if bn_folded():
-        if train:
-            raise ValueError('BN folding is an inference-only transform; '
-                             'set_bn_folded(False) before training')
-        return FoldedBN(name=name)(x)
+    if not mdl.is_initializing():
+        # absent scope -> pretend unfolded; flax raises its usual
+        # missing-param error inside nn.BatchNorm, which names the scope
+        bn_params = mdl.variables.get('params', {}).get(name, None)
+        if bn_params is not None and 'scale' not in bn_params:
+            if train:
+                raise ValueError(
+                    'BN folding is an inference-only transform; these '
+                    'params were folded by fold_conv_bn/fold_state and '
+                    'cannot be trained (restore unfolded weights instead)')
+            return FoldedBN(name=name)(x)
     return nn.BatchNorm(use_running_average=not train, momentum=momentum,
                         epsilon=epsilon, axis_name=axis_name, dtype=x.dtype,
                         name=name)(x)
@@ -194,8 +198,8 @@ def fold_conv_bn(params: Dict[str, Any], batch_stats: Dict[str, Any],
 
 def fold_state(state):
     """Fold a TrainState's params/batch_stats (and the EMA shadow when
-    present) for inference. Pair with ``set_bn_folded(True)`` and rebuild
-    (or first-trace) the eval/predict steps afterwards."""
+    present) for inference. The folded tree shape is self-describing:
+    :func:`batch_norm` applies the folded program wherever it sees it."""
     p, bs, n = fold_conv_bn(state.params, state.batch_stats)
     kw = dict(params=p, batch_stats=bs)
     if getattr(state, 'ema_params', None) is not None:

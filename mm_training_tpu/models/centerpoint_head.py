@@ -54,7 +54,7 @@ class SeparateHead(nn.Module):
             for i in range(num_conv - 1):
                 h = nn.Conv(self.head_conv, (k, k), padding='SAME',
                             name=f'{name}_conv{i}')(h)
-                h = batch_norm(h, train, axis_name=self.bn_axis_name,
+                h = batch_norm(self, h, train, axis_name=self.bn_axis_name,
                                name=f'{name}_bn{i}')
                 h = nn.relu(h)
             bias_init = (nn.initializers.constant(self.init_bias)

@@ -41,7 +41,7 @@ class ConvBN(nn.Module):
                     padding=[(pad, pad), (pad, pad)],
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False)(x)
-        x = batch_norm(x, train, axis_name=self.bn_axis_name)
+        x = batch_norm(self, x, train, axis_name=self.bn_axis_name)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -213,7 +213,7 @@ class _S2DStem(nn.Module):
                     kernel_init=masked_lecun,
                     mask=jnp.asarray(stem_s2d_mask(c, self.features),
                                      x.dtype))(xb)
-        x = batch_norm(x, train, axis_name=self.bn_axis_name)
+        x = batch_norm(self, x, train, axis_name=self.bn_axis_name)
         return nn.relu(x)
 
 

@@ -69,7 +69,7 @@ class SECONDFPN(nn.Module):
                 s = int(round(1 / us))
                 x = nn.Conv(ch, (s, s), strides=(s, s), padding='VALID',
                             use_bias=False, name=f'deblock{i}_conv')(x)
-            x = batch_norm(x, train, axis_name=self.bn_axis_name,
+            x = batch_norm(self, x, train, axis_name=self.bn_axis_name,
                            name=f'deblock{i}_bn')
             outs.append(nn.relu(x))
         return jnp.concatenate(outs, axis=-1)

@@ -25,7 +25,7 @@ import numpy as np
 from mm_training_tpu.configs import variants
 from mm_training_tpu.data.fake_batch import make_fake_batch
 from mm_training_tpu.models import BEVDepthLiDAR, decode_boxes
-from mm_training_tpu.models.bn_fold import fold_conv_bn, set_bn_folded
+from mm_training_tpu.models.bn_fold import fold_conv_bn
 from mm_training_tpu.training.train_step import (cast_floating,
                                                  normalize_images)
 
@@ -77,7 +77,7 @@ def main():
     print(json.dumps({'case': 'eval_bn', **res}))
 
     p2, s2, nf = fold_conv_bn(variables['params'], variables['batch_stats'])
-    set_bn_folded(True)
+    # folded-ness travels with the params: measure() retraces automatically
     res = measure(cfg, {'params': p2, 'batch_stats': s2})
     print(json.dumps({'case': 'folded_bn', 'n_folded': nf, **res}))
 

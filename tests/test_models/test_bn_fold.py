@@ -7,23 +7,18 @@ import numpy as np
 import pytest
 
 from mm_training_tpu.configs import tiny_test_config
-from mm_training_tpu.models.bn_fold import (batch_norm, bn_folded,
-                                            fold_conv_bn, set_bn_folded)
+from mm_training_tpu.models.bn_fold import batch_norm, fold_conv_bn
 
 from tests.test_models.test_torch_export import (_init_variables,
                                                  _randomized)
 
 
-@pytest.fixture(autouse=True)
-def _unfolded_after():
-    yield
-    set_bn_folded(False)
-
-
 @pytest.mark.slow
 def test_folded_forward_matches_eval_bn():
     """Full tiny fusion model, randomized params AND running stats: fold,
-    flip the trace flag, compare every head map + the depth logits."""
+    apply the SAME model object to the folded tree (folded-ness is read
+    from the weights), compare every head map + the depth logits — then
+    re-apply the unfolded tree to prove nothing leaked between the two."""
     cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True)
     model, batch, variables = _init_variables(cfg)
     variables = _randomized(variables)
@@ -34,7 +29,6 @@ def test_folded_forward_matches_eval_bn():
     assert n >= 20, f'only {n} conv+BN pairs folded'
     # every BN scope this model traces as foldable lost its stats
     assert not jax.tree_util.tree_leaves(s2), 'dense tiny model folds fully'
-    set_bn_folded(True)
     got_preds, got_depth, _, _ = model.apply(
         {'params': p2, 'batch_stats': s2}, batch, None, False)
 
@@ -43,6 +37,16 @@ def test_folded_forward_matches_eval_bn():
             diff = float(jnp.max(jnp.abs(rp[k] - gp[k])))
             assert diff < 2e-3, (k, diff)
     assert float(jnp.max(jnp.abs(ref_depth - got_depth))) < 2e-3
+
+    # unfolded weights still trace real BN after a folded apply
+    again_preds, again_depth, _, _ = model.apply(variables, batch, None,
+                                                 False)
+    for rp, ap in zip(ref_preds, again_preds):
+        for k in rp:
+            np.testing.assert_array_equal(np.asarray(rp[k]),
+                                          np.asarray(ap[k]))
+    np.testing.assert_array_equal(np.asarray(ref_depth),
+                                  np.asarray(again_depth))
 
 
 def test_folded_param_tree_shape():
@@ -95,18 +99,27 @@ def test_sparse_encoder_stats_pass_through():
 
 
 def test_folded_training_raises():
+    """Training on FOLDED weights must refuse at trace time; the same
+    model trains fine on the unfolded tree (no process state involved)."""
     import flax.linen as nn
 
     class Tiny(nn.Module):
         @nn.compact
         def __call__(self, x, train):
             x = nn.Conv(4, (1, 1), use_bias=False)(x)
-            return batch_norm(x, train)
+            return batch_norm(self, x, train)
 
     m = Tiny()
     x = jnp.ones((1, 4, 4, 4))
     v = m.init(jax.random.PRNGKey(0), x, False)
-    set_bn_folded(True)
-    assert bn_folded()
+    p2, s2, n = fold_conv_bn(v['params'], v['batch_stats'])
+    assert n == 1
     with pytest.raises(ValueError, match='inference-only'):
-        m.apply(v, x, True)
+        m.apply({'params': p2, 'batch_stats': s2}, x, True,
+                mutable=['batch_stats'])
+    # unfolded training still works
+    m.apply(v, x, True, mutable=['batch_stats'])
+    # folded eval works and matches unfolded eval
+    ref = m.apply(v, x, False)
+    got = m.apply({'params': p2, 'batch_stats': s2}, x, False)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)

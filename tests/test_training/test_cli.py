@@ -96,11 +96,12 @@ def test_string_values_pass_through():
 @pytest.mark.slow
 def test_inference_fold_bn_matches_unfolded(tmp_path):
     """Trainer.fold_bn_for_inference (the --fold-bn path): folded predict
-    decodes the same boxes as the unfolded predict on the same weights."""
+    decodes the same boxes as the unfolded predict on the same weights —
+    and folding one Trainer must not leak into another Trainer in the
+    same process (folded-ness lives in the params, not process state)."""
     import numpy as np
     from mm_training_tpu.configs import tiny_test_config
     from mm_training_tpu.data.synthetic import generate_synthetic_dataset
-    from mm_training_tpu.models.bn_fold import set_bn_folded
     from mm_training_tpu.training.trainer import Trainer
 
     root = str(tmp_path / 'ds')
@@ -117,18 +118,37 @@ def test_inference_fold_bn_matches_unfolded(tmp_path):
     batch = next(iter(tr.loader('val')))
     tr.init_state(batch)
     _, device_batch, _ = next(iter(tr._device_batches(tr.loader('val'))))
-    try:
-        with tr.mesh:
-            ref = [np.asarray(x) for x in
-                   tr._predict_step(tr.state, device_batch)]
-        tr.fold_bn_for_inference()
-        with tr.mesh:
-            got = [np.asarray(x) for x in
-                   tr._predict_step(tr.state, device_batch)]
-    finally:
-        set_bn_folded(False)
+    unfolded_state = tr.state
+    with tr.mesh:
+        ref = [np.asarray(x) for x in
+               tr._predict_step(tr.state, device_batch)]
+    tr.fold_bn_for_inference()
+    with tr.mesh:
+        got = [np.asarray(x) for x in
+               tr._predict_step(tr.state, device_batch)]
     # boxes/scores: tolerance (fold reorders float ops); labels/valid exact
     np.testing.assert_allclose(ref[0], got[0], atol=2e-3)
     np.testing.assert_allclose(ref[1], got[1], atol=2e-3)
     np.testing.assert_array_equal(ref[2], got[2])
     np.testing.assert_array_equal(ref[3], got[3])
+
+    # a second, UNFOLDED Trainer in the same process: its traces must emit
+    # real BatchNorm modules (the round-4 process-global flag would have
+    # silently traced FoldedBN against unfolded weights here)
+    tr2 = Trainer(cfg.replace(out_path=str(tmp_path / 'out2')),
+                  data_root=root)
+    tr2.setup(steps_per_epoch=1)
+    tr2.init_state(batch)
+    tr2.state = tr2.state.replace(params=unfolded_state.params,
+                                  batch_stats=unfolded_state.batch_stats)
+    with tr2.mesh:
+        got2 = [np.asarray(x) for x in
+                tr2._predict_step(tr2.state, device_batch)]
+    for r, g in zip(ref, got2):
+        np.testing.assert_array_equal(r, g)
+    # and training on FOLDED weights must refuse at trace time
+    import pytest as _pytest
+    tr.state = tr.state.replace(step=tr.state.step * 0)
+    with _pytest.raises(ValueError, match='inference-only'), tr.mesh:
+        tr._train_step(tr.state, device_batch,
+                       __import__('jax').random.PRNGKey(0))
