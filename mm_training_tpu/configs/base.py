@@ -262,6 +262,10 @@ class Config:
     out_path: Optional[str] = None  # defaults to output/{experiment_name}
     log_wandb: bool = False
     num_workers: int = 8
+    # 'thread' (default: cv2/numpy release the GIL, measured to feed one
+    # chip) or 'process' (torch-DataLoader-style forked workers for
+    # many-chip hosts; see training/loader.py + scripts/loader_bench.py)
+    loader_worker_mode: str = 'thread'
     base_learning_rate: float = 1e-3  # lr = base/64*global_batch (conf_aim.py:14)
 
     # --- BEV grid (conf_aim.py:16-18)

@@ -70,8 +70,19 @@ def boxes_to_aabb_bev(boxes: np.ndarray) -> np.ndarray:
 def points_in_boxes_mask(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Axis-aligned containment test used by the reference's >5-point
     annotation filter (dataset/src/data_loader.py:129-150 — note it ignores
-    yaw, testing the AABB). points [P, 3+], boxes [N, 6+] -> bool [N, P]."""
-    p = np.asarray(points)[None, :, :3]        # [1, P, 3]
-    c = np.asarray(boxes)[:, None, 0:3]        # [N, 1, 3]
-    h = np.asarray(boxes)[:, None, 3:6] / 2.0  # [N, 1, 3]
-    return np.all((p >= c - h) & (p <= c + h), axis=-1)
+    yaw, testing the AABB). points [P, 3+], boxes [N, 6+] -> bool [N, P].
+
+    Formulated as per-axis [N, P] compares in the points' own float dtype:
+    the naive [N, P, 3] float64 broadcast costs ~27 ms/sample at 100k
+    points on the loader hot path; this is ~5x cheaper."""
+    p = np.ascontiguousarray(np.asarray(points)[:, :3])
+    dt = p.dtype if np.issubdtype(p.dtype, np.floating) else np.float64
+    b = np.asarray(boxes, dt)
+    lo = b[:, 0:3] - b[:, 3:6] / 2              # [N, 3]
+    hi = b[:, 0:3] + b[:, 3:6] / 2
+    mask = ((p[None, :, 0] >= lo[:, None, 0])
+            & (p[None, :, 0] <= hi[:, None, 0]))
+    for ax in (1, 2):
+        mask &= p[None, :, ax] >= lo[:, None, ax]
+        mask &= p[None, :, ax] <= hi[:, None, ax]
+    return mask

@@ -137,7 +137,21 @@ class CameraModel:
                     rays = rays @ rel.T
                 px, invalid = source_cam.ray2image(rays.astype(np.float32))
                 mapping = px.astype(np.float32)
-                cached = (mapping, invalid)
+                if cv2 is not None:
+                    # bake invalid rays (behind-camera etc.) into the map as
+                    # far-out-of-range coords: BORDER_CONSTANT then fills 0,
+                    # replacing the per-call out[invalid]=0 masked store; and
+                    # pre-convert to fixed-point maps — cv2.remap on CV_16SC2
+                    # skips the per-pixel float->fixed conversion every call
+                    # (~2x on the loader hot path, measured in
+                    # scripts/loader_bench history)
+                    mapping = mapping.copy()
+                    mapping[invalid] = -1e4
+                    m1, m2 = cv2.convertMaps(mapping[..., 0], mapping[..., 1],
+                                             cv2.CV_16SC2)
+                    cached = (m1, m2)
+                else:
+                    cached = (mapping, invalid)
                 if use_cache:
                     with CameraModel._remap_lock:
                         cache[key] = cached
@@ -147,18 +161,21 @@ class CameraModel:
                 if owner:
                     with CameraModel._remap_lock:
                         inflight.pop(key, None).set()
-        mapping, invalid = cached
         if cv2 is not None:
-            out = cv2.remap(image, mapping[..., 0], mapping[..., 1], cv2.INTER_LINEAR)
+            m1, m2 = cached
+            out = cv2.remap(image, m1, m2, cv2.INTER_LINEAR)
+            out = np.asarray(out)
+            if out.ndim == 2:
+                out = out[..., None]
         else:  # numpy nearest fallback
+            mapping, invalid = cached
             h_s, w_s = image.shape[:2]
             xi = np.clip(np.round(mapping[..., 0]).astype(np.int64), 0, w_s - 1)
             yi = np.clip(np.round(mapping[..., 1]).astype(np.int64), 0, h_s - 1)
-            out = image[yi, xi]
-        out = np.asarray(out)
-        if out.ndim == 2:
-            out = out[..., None]
-        out[invalid] = 0
+            out = np.asarray(image[yi, xi])
+            if out.ndim == 2:
+                out = out[..., None]
+            out[invalid] = 0
         return out
 
     # --------------------------------------------------------- serialization

@@ -165,11 +165,24 @@ def _annotation_json(objs):
     return {'CapturedObjects': out}
 
 
-def _write_image(path: str, rng, img_hw=(704, 1280)):
+def _write_image(path: str, rng, img_hw=(704, 1280),
+                 detail: bool = False):
     h, w = img_hw
     img = rng.integers(0, 255, (h // 8, w // 8, 3), dtype=np.uint8)
     if cv2 is not None:
         img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        if detail:
+            # full-res noise: real photos carry high-frequency content, and
+            # JPEG decode cost scales with entropy — the smooth default
+            # compresses to a tiny file that decodes unrealistically fast
+            # (loader benchmarks would overstate host throughput ~3x).
+            # Amplitude/quality calibrated against the reference repo's
+            # bundled real camera JPEGs (0.6-0.9 bpp, 2.4-4.6 ms/MP decode):
+            # +-10 @ q85 lands at 2.2 bpp, 4.6 ms/MP — the slow end of real
+            noise = rng.integers(-10, 10, (h, w, 3), dtype=np.int16)
+            img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+            return
         cv2.imwrite(path, img)
     else:  # pragma: no cover
         from PIL import Image
@@ -184,11 +197,15 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                                img_hw=(704, 1280),
                                seed: int = 0,
                                write_images: bool = True,
-                               fisheyes: bool = False) -> str:
+                               fisheyes: bool = False,
+                               n_ground_points: int = 6000,
+                               image_detail: bool = False) -> str:
     """Write a synthetic dataset tree under ``root`` and return it. With
     ``fisheyes``, two Mei omni cameras (M_FISHEYE_L/R at yaw +-90) get
     calibrations + images so FrameLoader(virtualize_fisheyes=True) can be
-    exercised end-to-end."""
+    exercised end-to-end. ``n_ground_points``/``image_detail`` scale the
+    fixture to production host-pipeline cost (~100k-point clouds,
+    high-entropy JPEGs) for loader benchmarks (scripts/loader_bench.py)."""
     rng = np.random.default_rng(seed)
     for split in splits:
         for odd in odds:
@@ -220,7 +237,8 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                     with open(os.path.join(ann_dir, f'frame_{fid}.json'), 'w') as f:
                         json.dump(_annotation_json(objs), f)
                     np.save(os.path.join(lid_dir, f'frame_{fid}.npy'),
-                            _lidar_for_scene(rng, objs))
+                            _lidar_for_scene(rng, objs,
+                                             n_ground=n_ground_points))
                     ego = np.eye(4)
                     ego[0, 3] = fi * 0.5  # forward motion
                     egomotion[str(fi)] = ego.reshape(-1).tolist()
@@ -231,12 +249,14 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                         json.dump(_radar_json(rng, objs, False), f)
                     if write_images:
                         _write_image(os.path.join(
-                            cam_front, f'F_MIDLONGRANGECAM_CL_{fid}.jpg'), rng, img_hw)
+                            cam_front, f'F_MIDLONGRANGECAM_CL_{fid}.jpg'),
+                            rng, img_hw, image_detail)
                         _write_image(os.path.join(
-                            cam_back, f'B_MIDRANGECAM_C_{fid}.jpg'), rng, img_hw)
+                            cam_back, f'B_MIDRANGECAM_C_{fid}.jpg'),
+                            rng, img_hw, image_detail)
                         for key, d in fish_dirs.items():
                             _write_image(os.path.join(d, f'{key}_{fid}.jpg'),
-                                         rng, img_hw)
+                                         rng, img_hw, image_detail)
 
                 with open(os.path.join(gnss_dir, 'egomotion.json'), 'w') as f:
                     json.dump(egomotion, f)

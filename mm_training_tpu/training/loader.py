@@ -3,7 +3,14 @@
 Replaces the torch DataLoader workers (mm_training_aim.py:533-565,
 num_workers=8). cv2/numpy release the GIL for the heavy work (JPEG decode,
 remap, point transforms), so a thread pool keeps the TPU fed without process
-overhead; batches are plain numpy dicts ready for ``jax.device_put``.
+overhead (measured: 10.6 samples/s at production shapes vs the 8.5/s
+single-chip device rate — scripts/loader_bench.py, BASELINE.md round 5);
+batches are plain numpy dicts ready for ``jax.device_put``.
+
+For many-chip hosts whose aggregate device rate exceeds the thread pool's
+GIL-bound ceiling, ``worker_mode='process'`` forks a persistent worker pool
+(the torch num_workers equivalent); samples come back through pickle, so
+it only wins when enough real cores exist to hide that copy cost.
 """
 from __future__ import annotations
 
@@ -17,6 +24,22 @@ import numpy as np
 from ..data.aimotive_dataset import collate_aim
 
 __all__ = ['PrefetchLoader', 'stack_batches']
+
+# process-worker state: set once per forked child (fork inherits the parent
+# dataset copy-on-write; tasks then carry only (index, epoch) ints)
+_WORKER_DS = None
+
+
+def _init_worker(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _load_indexed(task):
+    index, epoch = task
+    if _WORKER_DS.epoch != epoch and hasattr(_WORKER_DS, 'set_epoch'):
+        _WORKER_DS.set_epoch(epoch)  # parent's set_epoch can't reach us
+    return _WORKER_DS[index]
 
 
 def stack_batches(batches):
@@ -37,7 +60,8 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = True,
                  prefetch: int = 4, pad_last: bool = False,
-                 process_rows: Optional[tuple] = None):
+                 process_rows: Optional[tuple] = None,
+                 worker_mode: str = 'thread'):
         """With ``pad_last`` (eval loaders), a short trailing batch is padded
         to full size by repeating its last sample and carries an 'n_valid'
         host-only count — fixed shapes for jit, no dropped eval frames.
@@ -60,10 +84,33 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.pad_last = pad_last
         self.process_rows = process_rows
+        if worker_mode not in ('thread', 'process'):
+            raise ValueError(f'worker_mode {worker_mode!r}')
+        self.worker_mode = worker_mode
         self.epoch = 0
         self._start_batch = 0
-        # one long-lived pool (a per-batch pool would churn threads)
+        # one long-lived pool (a per-batch pool would churn threads);
+        # the process pool is created lazily so merely constructing a
+        # loader never forks (fork inherits jax/TPU client threads — safe
+        # for numpy/cv2-only children, but don't pay it unless iterated)
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        self._ppool = None
+
+    def _process_pool(self):
+        if self._ppool is None:
+            import multiprocessing
+            ctx = multiprocessing.get_context('fork')
+            self._ppool = ctx.Pool(self.num_workers,
+                                   initializer=_init_worker,
+                                   initargs=(self.dataset,))
+        return self._ppool
+
+    def close(self):
+        """Release worker pools (idempotent)."""
+        self._pool.shutdown(wait=False)
+        if self._ppool is not None:
+            self._ppool.terminate()
+            self._ppool = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -110,7 +157,12 @@ class PrefetchLoader:
                 lo, hi = self.process_rows
                 indices = indices[lo:hi]
                 valid_rows = valid_rows[lo:hi]
-            samples = list(self._pool.map(self.dataset.__getitem__, indices))
+            if self.worker_mode == 'process':
+                samples = self._process_pool().map(
+                    _load_indexed, [(int(i), self.epoch) for i in indices])
+            else:
+                samples = list(self._pool.map(self.dataset.__getitem__,
+                                              indices))
             batch = collate_aim(samples)
             if self.pad_last:
                 # local counts drive per-row consumers (mAP accumulate,

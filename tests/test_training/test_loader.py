@@ -91,3 +91,43 @@ def test_abandoned_iteration_releases_producer_thread():
         time.sleep(0.2)
     assert threading.active_count() <= base, \
         f'{threading.active_count() - base} producer threads still alive'
+
+
+class _EpochDataset(_ArrayDataset):
+    """Sample value depends on (index, epoch) — catches stale forked-worker
+    epoch state in process mode."""
+
+    def __init__(self, n):
+        super().__init__(n)
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __getitem__(self, i):
+        return {'x': np.full((3,), float(i) + 100.0 * self.epoch,
+                             np.float32), 'path': f'p{i}'}
+
+
+def test_process_worker_mode_matches_thread_mode():
+    """worker_mode='process' (forked workers, the torch-DataLoader
+    equivalent for many-chip hosts) must yield byte-identical batches to
+    the thread pool, including epoch-dependent sample state (the parent's
+    set_epoch cannot reach a forked child; the task tuple carries it)."""
+    def run(mode):
+        ds = _EpochDataset(8)
+        ld = PrefetchLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                            seed=3, worker_mode=mode)
+        try:
+            out = []
+            for epoch in (0, 1):
+                ld.set_epoch(epoch)
+                out.extend(b['x'] for b in ld)
+            return out
+        finally:
+            ld.close()
+
+    ref, got = run('thread'), run('process')
+    assert len(ref) == len(got) == 8
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
