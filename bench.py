@@ -12,8 +12,14 @@ the serving latency, so a regression in any of them shows up in the driver's
 BENCH artifact (VERDICT r3 #6), not just in BASELINE.md archaeology:
   - train_sps_lidar_only      (L,   batch 2, K=8)
   - train_sps_lidar_radar     (L+R, batch 2, K=8)
+  - train_sps_lidar_cam       (L+C, batch 2, K=8 — the 4th released combo)
   - predict_p50_ms            (B=1 L+R+C forward + decode + circle NMS +
                                bundled host fetch — the serving path)
+  - predict_p50_folded_ms     (same, with deploy-time conv-BN folding —
+                               the `inference --fold-bn` program)
+  - loader_sps                (host data pipeline: decode + virtualize +
+                               pack + collate samples/s at production
+                               shapes — must be >= the train rate)
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 ``vs_baseline`` ratio is computed against the BASELINE.md target proxy of
@@ -72,16 +78,19 @@ def _train_sps(cfg, k: int, dispatches: int) -> float:
     return cfg.batch_size * k * dispatches / dt
 
 
-def _predict_p50_ms(cfg, iters: int = 30) -> float:
+def _predict_p50_ms(cfg, iters: int = 30, fold_bn: bool = False) -> float:
     """B=1 serving latency: forward + decode + circle NMS + ONE bundled
     device->host fetch (serial per-array fetches would each pay the ~30 ms
-    tunnel round-trip — BASELINE.md round-3 pitfall)."""
+    tunnel round-trip — BASELINE.md round-3 pitfall). fold_bn=True measures
+    the deploy path (`inference --fold-bn`): conv-BN-folded weights, whose
+    tree shape makes batch_norm trace bias-only FoldedBN modules."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from mm_training_tpu.data.fake_batch import make_fake_batch
     from mm_training_tpu.models import BEVDepthLiDAR, decode_boxes
+    from mm_training_tpu.models.bn_fold import fold_conv_bn
     from mm_training_tpu.training.train_step import (cast_floating,
                                                      normalize_images)
 
@@ -99,6 +108,10 @@ def _predict_p50_ms(cfg, iters: int = 30) -> float:
     init_batch['imgs'] = normalize_images(batch['imgs'])
     variables = jax.jit(model.init, static_argnums=(3,))(
         jax.random.PRNGKey(0), init_batch, None, False)
+    if fold_bn:
+        p2, s2, _ = fold_conv_bn(variables['params'],
+                                 variables['batch_stats'])
+        variables = {'params': p2, 'batch_stats': s2}
 
     @jax.jit
     def fn(variables, batch):
@@ -138,7 +151,8 @@ def main():
     if on_tpu:
         for name, factory in (('train_sps_lidar_only', variants.lidar_only),
                               ('train_sps_lidar_radar',
-                               variants.lidar_radar)):
+                               variants.lidar_radar),
+                              ('train_sps_lidar_cam', variants.lidar_cam)):
             try:
                 c = factory(batch_size=2, max_points_per_frame=100_000,
                             steps_per_dispatch=8)
@@ -146,13 +160,26 @@ def main():
             except Exception as e:
                 traceback.print_exc()
                 extra[name] = f'error: {type(e).__name__}: {e}'
+        # host data pipeline: the device rate is unreachable in real
+        # training unless the loader sustains it (VERDICT r4 #1)
         try:
-            c = variants.lidar_cam_radar(batch_size=1,
-                                         max_points_per_frame=100_000)
-            extra['predict_p50_ms'] = round(_predict_p50_ms(c), 2)
+            from mm_training_tpu.data.loader_bench import (build_fixture,
+                                                           measure_loader_sps)
+            root = build_fixture('/tmp/loader_bench_ds')
+            extra['loader_sps'] = round(
+                measure_loader_sps(root, batches=10), 3)
         except Exception as e:
             traceback.print_exc()
-            extra['predict_p50_ms'] = f'error: {type(e).__name__}: {e}'
+            extra['loader_sps'] = f'error: {type(e).__name__}: {e}'
+        for name, fold in (('predict_p50_ms', False),
+                           ('predict_p50_folded_ms', True)):
+            try:
+                c = variants.lidar_cam_radar(batch_size=1,
+                                             max_points_per_frame=100_000)
+                extra[name] = round(_predict_p50_ms(c, fold_bn=fold), 2)
+            except Exception as e:
+                traceback.print_exc()
+                extra[name] = f'error: {type(e).__name__}: {e}'
 
     # the CPU smoke fallback must be distinguishable from the real chip
     # benchmark: tiny-geometry CPU throughput vs the A100 baseline is
