@@ -242,3 +242,161 @@ def test_full_pipeline_box_parity():
             np.testing.assert_allclose(gb[k, 3:6], rb[j, 3:6],
                                        rtol=1e-3, atol=1e-3)
         assert used.all()
+
+
+def _numpy_voxelize(points, mask, pc_range, voxel, grid_hw, cap):
+    """Hard-voxelize + HardSimpleVFE mean over the first 5 features with the
+    reference's first-``cap``-points-in-order subsampling (mmdet3d
+    Voxelization max_num_points=15 semantics; conf_aim.py:194-201).
+    Independent loop formulation (generalizes tests/test_ops/test_voxelize
+    ._reference to arbitrary geometry)."""
+    ny, nx = grid_hw
+    sums = np.zeros((ny, nx, 5), np.float64)
+    cnts = np.zeros((ny, nx), np.int64)
+    for p, m in zip(points, mask):
+        if not m:
+            continue
+        xi = int(np.floor((p[0] - pc_range[0]) / voxel[0]))
+        yi = int(np.floor((p[1] - pc_range[1]) / voxel[1]))
+        zi = int(np.floor((p[2] - pc_range[2]) / voxel[2]))
+        if not (0 <= xi < nx and 0 <= yi < ny and zi == 0):
+            continue
+        if cnts[yi, xi] >= cap:
+            continue
+        sums[yi, xi] += p[:5]
+        cnts[yi, xi] += 1
+    grid = (sums / np.maximum(cnts[..., None], 1)).astype(np.float32)
+    return grid, cnts > 0
+
+
+@pytest.mark.slow
+def test_full_pipeline_box_parity_fused_lrc():
+    """VERDICT r4 #2: the fused LiDAR+radar+camera chain — the configuration
+    every released reference checkpoint ships in (bev_depth.py:163-200) —
+    compared at BOX level. torch/numpy side: voxelize -> HardSimpleVFE ->
+    the site-by-site sparse-conv SparseEncoder reference -> TFuse gating ->
+    TBEVHead -> independent numpy decode + circle NMS. flax side: one
+    BEVDepthLiDAR.apply on weights converted with the production
+    convert_reference_checkpoint (lidar_encoder/bev_fuse/backbone/head all
+    through the one full-checkpoint path)."""
+    import dataclasses
+    import torch as _torch
+    from mm_training_tpu.configs import LidarEncoderConf, VoxelizationConf
+    from mm_training_tpu.models import decode_boxes
+    from tests.test_models.test_activation_parity import TFuse
+    from tests.test_models.test_sparse_encoder import (CHANNELS,
+                                                       _make_state_dict,
+                                                       np_sparse_encoder)
+
+    cfg = tiny_test_config(use_cam=True, use_lidar=True, use_radar=True,
+                           batch_size=1)
+    cfg = cfg.replace(
+        backbone_conf=dataclasses.replace(cfg.get_backbone_conf(),
+                                          factorized_splat=False),
+        lidar_conf=LidarEncoderConf(
+            variant='sparse_import',
+            voxelization=VoxelizationConf(max_num_points=15,
+                                          max_voxels=25000)))
+    bb = cfg.get_backbone_conf()
+    head_conf = cfg.get_head_conf()
+    ny, nx = cfg.out_shape
+
+    # ---- one combined reference-named state dict, converted in one call
+    tmodel = _build_torch_model(cfg)
+    tfuse = TFuse(cfg.fuse_layer_in_channels).eval()
+    rng = np.random.default_rng(21)
+    sparse_sd = _make_state_dict(rng)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    sd.update({f'bev_fuse.{k}': v.detach().numpy()
+               for k, v in tfuse.state_dict().items()})
+    sd.update({f'lidar_encoder.pts_middle_encoder.{k}': np.asarray(v)
+               for k, v in sparse_sd.items()})
+    params, stats = ti.convert_reference_checkpoint(sd, cfg)
+
+    # ---- shared inputs
+    fb = make_fake_batch(cfg, batch_size=1, seed=5)
+    b, s, n = 1, 1, cfg.num_cameras
+    h, w = cfg.final_dim
+    imgs = rng.standard_normal((b, s, n, h, w, 3)).astype(np.float32)
+    npts = 512
+    pts = np.zeros((npts, 8), np.float32)
+    pc = cfg.point_cloud_range
+    pts[:, 0] = rng.uniform(pc[0] - 2, pc[3] + 2, npts)  # some out of range
+    pts[:, 1] = rng.uniform(pc[1] - 2, pc[4] + 2, npts)
+    pts[:, 2] = rng.uniform(pc[2], pc[5], npts)
+    pts[:, 3:] = rng.normal(size=(npts, 5)).astype(np.float32)
+    pmask = rng.random(npts) > 0.1
+    batch = {'imgs': jnp.asarray(imgs),
+             'sensor2ego': jnp.asarray(fb['sensor2ego']),
+             'intrin': jnp.asarray(fb['intrin']),
+             'flipped': jnp.zeros((b * s * n,), bool),
+             'bda_mat': jnp.eye(4)[None].repeat(b, 0),
+             'points': jnp.asarray(pts)[None],
+             'point_mask': jnp.asarray(pmask)[None]}
+
+    # ---- flax: the whole fused pipeline in one apply
+    model = BEVDepthLiDAR(cfg)
+    variables = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), batch, None, False)
+    merged = ti.merge_subtree(variables, params, stats)
+    preds, _, _, _ = model.apply(merged, batch, None, False)
+    fboxes, fscores, flabels, fvalid = decode_boxes(head_conf, preds)
+
+    # ---- torch/numpy: camera branch
+    with torch.no_grad():
+        x = torch.from_numpy(imgs.reshape(b * n, h, w, 3)
+                             .transpose(0, 3, 1, 2)).contiguous()
+        feats = tmodel.backbone.img_backbone(x)
+        neck = tmodel.backbone.img_neck(feats)
+        dout = tmodel.backbone.depth_net(neck).numpy()
+    d_ch, c_out = bb.depth_channels, bb.output_channels
+    logits = dout[:, :d_ch]
+    depth = np.exp(logits - logits.max(1, keepdims=True))
+    depth /= depth.sum(1, keepdims=True)
+    context = dout[:, d_ch:d_ch + c_out]
+    fh, fw = bb.feat_hw
+    cam_bev = _numpy_splat(depth.reshape(b, n, d_ch, fh, fw),
+                           context.reshape(b, n, c_out, fh, fw),
+                           fb['sensor2ego'][:, 0], fb['intrin'][:, 0], bb)
+
+    # ---- torch/numpy: lidar branch (voxelize -> VFE -> sparse encoder)
+    grid, occ = _numpy_voxelize(pts, pmask, pc, cfg.voxel_size, (ny, nx),
+                                cap=15)
+    sites = {(0, int(yi), int(xi)): grid[yi, xi].astype(np.float64)
+             for yi, xi in zip(*np.nonzero(occ))}
+    lidar_chw = np_sparse_encoder(sparse_sd, sites, (41, ny, nx))
+    lidar_bev = lidar_chw[None].transpose(0, 2, 3, 1)  # [1, ny/8, nx/8, 256]
+    assert lidar_bev.shape[1:3] == cam_bev.shape[1:3], \
+        'fused test requires matching BEV grids (no resize fallback)'
+
+    # ---- torch/numpy: fuse -> head -> decode
+    fused_in = np.concatenate([cam_bev, lidar_bev.astype(np.float32)], -1)
+    with torch.no_grad():
+        fused = tfuse(_torch.from_numpy(
+            fused_in.transpose(0, 3, 1, 2)).contiguous())
+        touts = tmodel.head(fused)
+    task_preds = [{k: v.numpy().transpose(0, 2, 3, 1) for k, v in d.items()}
+                  for d in touts]
+    ref = _numpy_decode(head_conf, task_preds)
+
+    # ---- box-level comparison (same protocol as the camera-only test)
+    for bi in range(b):
+        rb, rs, rl = ref[bi]
+        v = np.asarray(fvalid[bi])
+        gb, gs, gl = (np.asarray(fboxes[bi])[v], np.asarray(fscores[bi])[v],
+                      np.asarray(flabels[bi])[v])
+        assert len(gb) == len(rb), (len(gb), len(rb))
+        assert len(rb) > 0, 'degenerate test: no boxes decoded'
+        used = np.zeros(len(rb), bool)
+        for k in range(len(gb)):
+            cand = np.flatnonzero((rl == gl[k]) & ~used)
+            assert len(cand), f'no unmatched ref box with label {gl[k]}'
+            d = np.linalg.norm(rb[cand, :2] - gb[k, :2], axis=1)
+            j = cand[int(d.argmin())]
+            used[j] = True
+            err = float(np.linalg.norm(gb[k, :2] - rb[j, :2]))
+            assert err < 1e-3, f'center error {err} (label {gl[k]})'
+            np.testing.assert_allclose(gs[k], rs[j], atol=1e-4)
+            np.testing.assert_allclose(gb[k, 3:6], rb[j, 3:6],
+                                       rtol=1e-3, atol=1e-3)
+        assert used.all()
