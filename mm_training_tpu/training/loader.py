@@ -37,7 +37,8 @@ def _init_worker(ds):
 
 def _load_indexed(task):
     index, epoch = task
-    if _WORKER_DS.epoch != epoch and hasattr(_WORKER_DS, 'set_epoch'):
+    if (hasattr(_WORKER_DS, 'set_epoch')
+            and getattr(_WORKER_DS, 'epoch', None) != epoch):
         _WORKER_DS.set_epoch(epoch)  # parent's set_epoch can't reach us
     return _WORKER_DS[index]
 
