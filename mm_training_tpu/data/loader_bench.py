@@ -14,10 +14,11 @@ processes, exps/mm_training_aim.py:533-565).
 The fixture is synthetic (``generate_synthetic_dataset``) but scaled to
 production cost: ~100k-point clouds and high-entropy JPEGs
 (``image_detail=True`` — smooth synthetic images decode ~3x faster than
-real photos and would overstate host throughput). One honest gap remains:
-real aiMotive lidar ships as LAZ and laspy is not installed here, so
-point IO is npy-read (LAZ decompression cost is unmeasured; flagged in
-BASELINE.md).
+real photos and would overstate host throughput). With ``--laz`` the
+lidar frames are real LASzip files decoded by the native codec
+(data/lasio.py) in the hot loop — the on-disk format of the real
+dataset (lidar_loader.py:86-91); the default stays ``.npy`` (the
+decoded-cache regime). Both numbers are recorded in BASELINE.md.
 
 Pass/fail bar: loader samples/s must be >= the device training rate
 (8.5 samples/s/chip, BENCH_r04) or the headline number is unreachable in
@@ -41,12 +42,18 @@ _FIXTURE_MARKER = 'loader_bench_fixture.json'
 
 
 def build_fixture(root: str, img_hw=(704, 1280),
-                  n_ground_points: int = 100_000) -> str:
-    """Generate (or reuse) the production-shape fixture under ``root``."""
+                  n_ground_points: int = 100_000,
+                  lidar_format: str = 'npy') -> str:
+    """Generate (or reuse) the production-shape fixture under ``root``.
+    ``lidar_format='laz'`` writes real LASzip frames (decoded by the
+    native codec, data/lasio.py) — the on-disk format of the real
+    dataset, closing the "LAZ decompression unmeasured" gap."""
     from .synthetic import generate_synthetic_dataset
 
     spec = {'img_hw': list(img_hw), 'n_ground_points': n_ground_points,
             'frames': _FIXTURE_FRAMES, 'seqs': _FIXTURE_SEQS, 'version': 2}
+    if lidar_format != 'npy':
+        spec['lidar_format'] = lidar_format
     marker = os.path.join(root, _FIXTURE_MARKER)
     if os.path.exists(marker):
         try:
@@ -59,7 +66,8 @@ def build_fixture(root: str, img_hw=(704, 1280),
         root, splits=('train',), odds=('highway',),
         sequences_per_odd=_FIXTURE_SEQS,
         frames_per_sequence=_FIXTURE_FRAMES, n_objects=8, img_hw=img_hw,
-        fisheyes=True, n_ground_points=n_ground_points, image_detail=True)
+        fisheyes=True, n_ground_points=n_ground_points, image_detail=True,
+        lidar_format=lidar_format)
     with open(marker, 'w') as f:
         json.dump(spec, f)
     return root
@@ -129,9 +137,14 @@ def main():
     ap.add_argument('--batch-size', type=int, default=2)
     ap.add_argument('--sweep', action='store_true',
                     help='also sweep worker counts and the process mode')
+    ap.add_argument('--laz', action='store_true',
+                    help='use a LASzip-compressed lidar fixture (native '
+                         'codec decode in the hot loop) instead of .npy')
     args = ap.parse_args()
 
-    build_fixture(args.root)
+    if args.laz:
+        args.root = args.root.rstrip('/') + '_laz'
+    build_fixture(args.root, lidar_format='laz' if args.laz else 'npy')
     get_ms = measure_getitem_ms(args.root)
     sps = measure_loader_sps(args.root, batch_size=args.batch_size,
                              num_workers=args.num_workers,
@@ -139,6 +152,7 @@ def main():
     out = {
         'loader_sps': round(sps, 3),
         'getitem_ms': round(get_ms, 2),
+        'lidar_format': 'laz' if args.laz else 'npy',
         'num_workers': args.num_workers,
         'batch_size': args.batch_size,
         'host_cpus': os.cpu_count(),

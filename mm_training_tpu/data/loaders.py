@@ -33,6 +33,8 @@ try:
 except ImportError:  # pragma: no cover
     laspy = None
 
+from . import lasio  # native LAS/LAZ codec (no external dependency)
+
 __all__ = ['CameraFrame', 'CameraData', 'load_camera_data', 'read_camera_params',
            'load_lidar_data', 'read_lidar', 'filter_ego_car',
            'load_radar_data', 'radar_json_to_pcd', 'read_radar_calibrations']
@@ -154,16 +156,33 @@ def load_camera_data(data_folder: str, frame_id: str, use_cam: bool,
 # --------------------------------------------------------------------- lidar
 
 def read_lidar(path: str) -> np.ndarray:
-    """One frame -> [N, 5] (x, y, z, intensity, gps_time)."""
+    """One frame -> [N, 5] (x, y, z, intensity, gps_time).
+
+    ``.laz``/``.las`` go through the native C++ codec (data/lasio.py —
+    LAS 1.2-1.4 + LASzip chunked v2 items, the format the reference reads
+    via laspy, lidar_loader.py:86-91); laspy is the fallback when the
+    native path can't decode a variant (e.g. RGB items), and a
+    same-named ``.npy`` is the last resort (synthetic fixtures)."""
     base, ext = os.path.splitext(path)
-    if ext == '.laz' and laspy is None and os.path.exists(base + '.npy'):
-        path, ext = base + '.npy', '.npy'  # fixture fallback
+    if ext in ('.laz', '.las'):
+        if lasio.lasio_available() and os.path.exists(path):
+            try:
+                return lasio.read_las(path).astype(np.float32)
+            except RuntimeError:
+                if laspy is None:  # unsupported variant and no fallback
+                    raise
+        if laspy is None and os.path.exists(base + '.npy'):
+            path, ext = base + '.npy', '.npy'  # fixture fallback
+        elif not os.path.exists(path) and os.path.exists(base + '.npy'):
+            path, ext = base + '.npy', '.npy'
     if ext == '.npy':
         return np.load(path).astype(np.float32)
     if ext == '.bin':
         return np.fromfile(path, np.float32).reshape(-1, 5)
     if laspy is None:
-        raise RuntimeError(f'laspy unavailable and no .npy fallback for {path}')
+        raise RuntimeError(
+            f'native lasio failed or unavailable, laspy not installed, and '
+            f'no .npy fallback for {path}')
     with laspy.open(path) as fh:
         las = fh.read()
         return np.array([las.x, las.y, las.z, las.intensity, las.gps_time],

@@ -199,13 +199,24 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                                write_images: bool = True,
                                fisheyes: bool = False,
                                n_ground_points: int = 6000,
-                               image_detail: bool = False) -> str:
+                               image_detail: bool = False,
+                               lidar_format: str = 'npy') -> str:
     """Write a synthetic dataset tree under ``root`` and return it. With
     ``fisheyes``, two Mei omni cameras (M_FISHEYE_L/R at yaw +-90) get
     calibrations + images so FrameLoader(virtualize_fisheyes=True) can be
     exercised end-to-end. ``n_ground_points``/``image_detail`` scale the
     fixture to production host-pipeline cost (~100k-point clouds,
-    high-entropy JPEGs) for loader benchmarks (scripts/loader_bench.py)."""
+    high-entropy JPEGs) for loader benchmarks (scripts/loader_bench.py).
+    ``lidar_format='laz'`` writes real LASzip-compressed frames through the
+    native codec (data/lasio.py) instead of ``.npy`` stand-ins, matching
+    the on-disk format of the real dataset (lidar_loader.py:86-91)."""
+    if lidar_format not in ('npy', 'laz'):
+        raise ValueError(f'lidar_format must be npy or laz, got {lidar_format}')
+    if lidar_format == 'laz':
+        from . import lasio
+        if not lasio.lasio_available():
+            raise RuntimeError('lidar_format="laz" needs the native lasio '
+                               'codec (no compiler available?)')
     rng = np.random.default_rng(seed)
     for split in splits:
         for odd in odds:
@@ -236,9 +247,16 @@ def generate_synthetic_dataset(root: str, splits=('train', 'val'),
                     objs = _scene_objects(rng, n_objects)
                     with open(os.path.join(ann_dir, f'frame_{fid}.json'), 'w') as f:
                         json.dump(_annotation_json(objs), f)
-                    np.save(os.path.join(lid_dir, f'frame_{fid}.npy'),
-                            _lidar_for_scene(rng, objs,
-                                             n_ground=n_ground_points))
+                    cloud = _lidar_for_scene(rng, objs,
+                                             n_ground=n_ground_points)
+                    if lidar_format == 'laz':
+                        from . import lasio
+                        lasio.write_las(
+                            os.path.join(lid_dir, f'frame_{fid}.laz'),
+                            cloud.astype(np.float64))
+                    else:
+                        np.save(os.path.join(lid_dir, f'frame_{fid}.npy'),
+                                cloud)
                     ego = np.eye(4)
                     ego[0, 3] = fi * 0.5  # forward motion
                     egomotion[str(fi)] = ego.reshape(-1).tolist()
