@@ -20,6 +20,9 @@ BENCH artifact (VERDICT r3 #6), not just in BASELINE.md archaeology:
   - loader_sps                (host data pipeline: decode + virtualize +
                                pack + collate samples/s at production
                                shapes — must be >= the train rate)
+  - loader_sps_laz            (same, with real LASzip lidar decode in the
+                               hot loop via the native codec — the
+                               on-disk format of the real dataset)
 
 Baseline: the reference repo publishes no numbers (BASELINE.md). The
 ``vs_baseline`` ratio is computed against the BASELINE.md target proxy of
@@ -162,6 +165,7 @@ def main():
                 extra[name] = f'error: {type(e).__name__}: {e}'
         # host data pipeline: the device rate is unreachable in real
         # training unless the loader sustains it (VERDICT r4 #1)
+        root = None
         try:
             from mm_training_tpu.data.loader_bench import (build_fixture,
                                                            measure_loader_sps)
@@ -171,6 +175,16 @@ def main():
         except Exception as e:
             traceback.print_exc()
             extra['loader_sps'] = f'error: {type(e).__name__}: {e}'
+        try:
+            # same pipeline with real LASzip lidar decode in the hot loop
+            # (the on-disk format of the real dataset; native codec)
+            from mm_training_tpu.data.loader_bench import mirror_fixture_as_laz
+            laz_root = mirror_fixture_as_laz(root, '/tmp/loader_bench_ds_laz')
+            extra['loader_sps_laz'] = round(
+                measure_loader_sps(laz_root, batches=10), 3)
+        except Exception as e:
+            traceback.print_exc()
+            extra['loader_sps_laz'] = f'error: {type(e).__name__}: {e}'
         for name, fold in (('predict_p50_ms', False),
                            ('predict_p50_folded_ms', True)):
             try:

@@ -155,3 +155,45 @@ def write_las(path: str, pts: np.ndarray, scale=(1e-3, 1e-3, 1e-3),
         float(offset[0]), float(offset[1]), float(offset[2]),
         int(bool(compress)), int(chunk_size)))
     return _check(rc, path)
+
+
+def main():
+    """CLI: inspect / convert / micro-bench LAS-LAZ files.
+
+    python -m mm_training_tpu.data.lasio info  frame.laz
+    python -m mm_training_tpu.data.lasio convert frame.laz frame.npy
+    python -m mm_training_tpu.data.lasio convert frame.npy frame.laz
+    python -m mm_training_tpu.data.lasio bench frame.laz [iters]
+    """
+    import json
+    import sys
+    import time
+
+    if len(sys.argv) < 3 or sys.argv[1] not in ('info', 'convert', 'bench'):
+        print(main.__doc__)
+        raise SystemExit(2)
+    cmd, src = sys.argv[1], sys.argv[2]
+    if cmd == 'info':
+        print(json.dumps(las_info(src)))
+    elif cmd == 'convert':
+        dst = sys.argv[3]
+        pts = (np.load(src).astype(np.float64) if src.endswith('.npy')
+               else read_las(src))
+        if dst.endswith('.npy'):
+            np.save(dst, pts.astype(np.float32))
+        else:
+            write_las(dst, pts)
+        print(f'{src} -> {dst}: {len(pts)} points')
+    else:
+        iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+        n = len(read_las(src))  # warm page cache
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            read_las(src)
+        dt = (time.perf_counter() - t0) / iters
+        print(json.dumps({'npoints': n, 'decode_ms': round(dt * 1e3, 2),
+                          'mpts_per_s': round(n / dt / 1e6, 3)}))
+
+
+if __name__ == '__main__':
+    main()

@@ -32,7 +32,8 @@ import time
 
 import numpy as np
 
-__all__ = ['build_fixture', 'measure_loader_sps', 'measure_getitem_ms']
+__all__ = ['build_fixture', 'mirror_fixture_as_laz', 'measure_loader_sps',
+           'measure_getitem_ms']
 
 # fixture geometry: big enough that one epoch != one OS-cache-warm file,
 # small enough to generate in seconds
@@ -71,6 +72,46 @@ def build_fixture(root: str, img_hw=(704, 1280),
     with open(marker, 'w') as f:
         json.dump(spec, f)
     return root
+
+
+def mirror_fixture_as_laz(src_root: str, dst_root: str) -> str:
+    """Cheap LAZ twin of an existing .npy fixture: symlink the images /
+    annotations / calibration trees and convert only the lidar frames to
+    real LASzip files (native codec). Avoids paying a second full fixture
+    generation (the high-entropy JPEGs dominate build time)."""
+    from . import lasio
+
+    marker = os.path.join(dst_root, _FIXTURE_MARKER)
+    src_marker = os.path.join(src_root, _FIXTURE_MARKER)
+    with open(src_marker) as f:
+        spec = json.load(f)
+    spec['lidar_format'] = 'laz-mirror'
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == spec:
+                    return dst_root
+        except Exception:
+            pass
+    for dirpath, dirnames, filenames in os.walk(src_root):
+        rel = os.path.relpath(dirpath, src_root)
+        if rel == '.' and _FIXTURE_MARKER in filenames:
+            filenames = [f for f in filenames if f != _FIXTURE_MARKER]
+        dst_dir = os.path.join(dst_root, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in filenames:
+            src = os.path.join(dirpath, name)
+            dst = os.path.join(dst_dir, name)
+            if name.endswith('.npy') and os.path.basename(
+                    dirpath) == 'raw-revolutions':
+                laz = dst[:-4] + '.laz'
+                if not os.path.exists(laz):
+                    lasio.write_las(laz, np.load(src).astype(np.float64))
+            elif not os.path.exists(dst):
+                os.symlink(src, dst)
+    with open(marker, 'w') as f:
+        json.dump(spec, f)
+    return dst_root
 
 
 def _make_dataset(root: str, cfg=None):
@@ -143,8 +184,11 @@ def main():
     args = ap.parse_args()
 
     if args.laz:
+        src = build_fixture(args.root)
         args.root = args.root.rstrip('/') + '_laz'
-    build_fixture(args.root, lidar_format='laz' if args.laz else 'npy')
+        mirror_fixture_as_laz(src, args.root)
+    else:
+        build_fixture(args.root)
     get_ms = measure_getitem_ms(args.root)
     sps = measure_loader_sps(args.root, batch_size=args.batch_size,
                              num_workers=args.num_workers,
